@@ -1,0 +1,79 @@
+"""Boolean scheme tests: all gates over all operand combinations plus a
+randomized deep circuit against a clear model (the analogue of
+boolean gate tests and `test_deep_circuit`, gadget/server_key/tests.rs:763)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu import boolean as B
+from tfhe_tpu.core.params import TEST_PARAMS_BOOLEAN
+
+
+@pytest.fixture(scope="module")
+def bkeys():
+    return B.gen_keys(TEST_PARAMS_BOOLEAN, seed=17)
+
+
+A = jnp.asarray([False, False, True, True])
+Bv = jnp.asarray([False, True, False, True])
+
+
+def test_encrypt_decrypt(bkeys):
+    ck, _ = bkeys
+    assert np.array_equal(np.asarray(B.decrypt(ck, B.encrypt(ck, A, seed=5))),
+                          np.asarray(A))
+
+
+def test_trivial(bkeys):
+    ck, _ = bkeys
+    ct = B.trivial_encrypt(ck.params, Bv)
+    assert np.array_equal(np.asarray(B.decrypt(ck, ct)), np.asarray(Bv))
+
+
+@pytest.mark.parametrize("name,fn,op", [
+    ("and", B.and_, lambda a, b: a & b),
+    ("or", B.or_, lambda a, b: a | b),
+    ("xor", B.xor_, lambda a, b: a ^ b),
+    ("nand", B.nand, lambda a, b: ~(a & b)),
+    ("nor", B.nor, lambda a, b: ~(a | b)),
+    ("xnor", B.xnor, lambda a, b: ~(a ^ b)),
+])
+def test_gates(bkeys, name, fn, op):
+    ck, sk = bkeys
+    ca, cb = B.encrypt(ck, A, seed=21), B.encrypt(ck, Bv, seed=22)
+    out = np.asarray(B.decrypt(ck, fn(sk, ca, cb)))
+    np.testing.assert_array_equal(out, np.asarray(op(A, Bv)))
+
+
+def test_gate_with_trivial_operand(bkeys):
+    ck, sk = bkeys
+    ca = B.encrypt(ck, A, seed=23)
+    cb = B.trivial_encrypt(ck.params, Bv)
+    out = np.asarray(B.decrypt(ck, B.and_(sk, ca, cb)))
+    np.testing.assert_array_equal(out, np.asarray(A & Bv))
+
+
+def test_not_and_mux(bkeys):
+    ck, sk = bkeys
+    ca, cb = B.encrypt(ck, A, seed=24), B.encrypt(ck, Bv, seed=25)
+    assert np.array_equal(np.asarray(B.decrypt(ck, B.not_(ca))), ~np.asarray(A))
+    m = B.mux(sk, ca, cb, B.not_(cb))
+    expect = np.where(np.asarray(A), np.asarray(Bv), ~np.asarray(Bv))
+    np.testing.assert_array_equal(np.asarray(B.decrypt(ck, m)), expect)
+
+
+def test_deep_circuit(bkeys, rs):
+    """Chain of random gates, compared against the clear model."""
+    ck, sk = bkeys
+    gates = [(B.and_, np.logical_and), (B.or_, np.logical_or),
+             (B.xor_, np.logical_xor), (B.nand, lambda a, b: ~(a & b))]
+    clear = np.asarray(A)
+    ct = B.encrypt(ck, A, seed=31)
+    other_clear = np.asarray(Bv)
+    other = B.encrypt(ck, Bv, seed=32)
+    for i in range(6):
+        g_enc, g_clear = gates[rs.randint(len(gates))]
+        ct = g_enc(sk, ct, other)
+        clear = np.asarray(g_clear(clear, other_clear)).astype(bool)
+        np.testing.assert_array_equal(np.asarray(B.decrypt(ck, ct)), clear,
+                                      err_msg=f"step {i}")

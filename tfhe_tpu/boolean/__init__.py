@@ -1,0 +1,236 @@
+"""Encrypted Boolean gates over the 32-bit torus.
+
+Re-design of the reference `boolean` scheme (tfhe/src/boolean/): encoding
+true = 1/8, false = -1/8 (boolean/mod.rs:76-80); a binary gate is a linear
+combination followed by one sign-LUT PBS and a keyswitch
+(boolean/engine/mod.rs:608-830, engine/bootstrapping.rs:257).
+
+TPU-native differences: keys are pytrees, ciphertexts carry an arbitrary
+batch shape, and every gate maps over the whole batch in one jitted program
+(`server_key` is closed over, the batch axis shards across chips via
+tfhe_tpu.parallel).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rng
+from ..core.algorithms import (bootstrap_key_to_ntt, decrypt_lwe, encrypt_lwe,
+                               external_product_num_primes,
+                               generate_bootstrap_key, generate_glwe_secret_key,
+                               generate_keyswitch_key, generate_lwe_secret_key,
+                               keyswitch_lwe, programmable_bootstrap,
+                               trivial_glwe, trivial_lwe)
+from ..core.entities import (GlweCiphertext, LweCiphertext, LweKeyswitchKey,
+                             LweSecretKey, NttLweBootstrapKey)
+from ..core.params import BooleanParameters, EncryptionKeyChoice, PBSOrder
+from ..core.params import boolean_params as get_boolean_params
+
+LOG_Q = 32
+PLAINTEXT_LOG_SCALING_FACTOR = 3
+PLAINTEXT_TRUE = np.uint32(1 << (32 - PLAINTEXT_LOG_SCALING_FACTOR))    # +1/8
+PLAINTEXT_FALSE = np.uint32(7 << (32 - PLAINTEXT_LOG_SCALING_FACTOR))   # -1/8
+
+
+@struct.dataclass
+class ClientKey:
+    """Small LWE key + GLWE key (reference boolean::ClientKey)."""
+
+    lwe_sk: LweSecretKey
+    glwe_sk: Any
+    params: BooleanParameters = struct.field(pytree_node=False)
+
+    @property
+    def encryption_key(self) -> LweSecretKey:
+        if self.params.encryption_key_choice == EncryptionKeyChoice.SMALL:
+            return self.lwe_sk
+        return self.glwe_sk.as_lwe_secret_key()
+
+
+@struct.dataclass
+class ServerKey:
+    """NTT-domain bootstrap key + keyswitch key
+    (reference boolean/engine/bootstrapping.rs:93)."""
+
+    bsk: NttLweBootstrapKey
+    ksk: LweKeyswitchKey
+    params: BooleanParameters = struct.field(pytree_node=False)
+
+
+@struct.dataclass
+class BoolCiphertext:
+    """Batch of encrypted booleans; data [..., n+1] uint32."""
+
+    lwe: LweCiphertext
+
+    @property
+    def batch_shape(self):
+        return self.lwe.batch_shape
+
+
+def gen_keys(params: BooleanParameters | str = "DEFAULT_PARAMETERS", seed: int = 0):
+    """Generate (ClientKey, ServerKey) — reference boolean::gen_keys."""
+    if isinstance(params, str):
+        params = get_boolean_params(params)
+    root = rng.key_from_seed(seed)
+    k_lwe, k_glwe, k_bsk, k_ksk = rng.split(root, 4)
+    lwe_sk = generate_lwe_secret_key(k_lwe, params.lwe_dimension)
+    glwe_sk = generate_glwe_secret_key(k_glwe, params.glwe_dimension,
+                                       params.polynomial_size)
+    ck = ClientKey(lwe_sk=lwe_sk, glwe_sk=glwe_sk, params=params)
+    sk = gen_server_key(ck, k_bsk, k_ksk)
+    return ck, sk
+
+
+def gen_server_key(ck: ClientKey, k_bsk, k_ksk) -> ServerKey:
+    params = ck.params
+    bsk_std = generate_bootstrap_key(k_bsk, ck.lwe_sk, ck.glwe_sk,
+                                     params.pbs_decomp, params.glwe_noise_std, LOG_Q)
+    num_primes = external_product_num_primes(
+        params.polynomial_size, params.glwe_size, params.pbs_decomp, LOG_Q)
+    bsk = bootstrap_key_to_ntt(bsk_std, LOG_Q, num_primes)
+    ksk = generate_keyswitch_key(
+        k_ksk, ck.glwe_sk.as_lwe_secret_key(), ck.lwe_sk,
+        params.ks_decomp, params.lwe_noise_std, LOG_Q)
+    return ServerKey(bsk=bsk, ksk=ksk, params=params)
+
+
+# ---------------------------------------------------------------------------
+# encryption
+# ---------------------------------------------------------------------------
+
+
+def encrypt(ck: ClientKey, messages, seed: int = 0) -> BoolCiphertext:
+    """messages: bool array [...] → BoolCiphertext batch."""
+    msgs = jnp.asarray(messages, dtype=bool)
+    pts = jnp.where(msgs, PLAINTEXT_TRUE, PLAINTEXT_FALSE)
+    key = rng.fork(rng.key_from_seed(seed), 1)
+    ct = encrypt_lwe(key, ck.encryption_key, pts,
+                     _fresh_noise_std(ck.params), LOG_Q)
+    return BoolCiphertext(lwe=ct)
+
+
+def _fresh_noise_std(params: BooleanParameters) -> float:
+    if params.encryption_key_choice == EncryptionKeyChoice.SMALL:
+        return params.lwe_noise_std
+    return params.glwe_noise_std
+
+
+def trivial_encrypt(params: BooleanParameters, messages) -> BoolCiphertext:
+    msgs = jnp.asarray(messages, dtype=bool)
+    pts = jnp.where(msgs, PLAINTEXT_TRUE, PLAINTEXT_FALSE)
+    n = (params.lwe_dimension
+         if params.encryption_key_choice == EncryptionKeyChoice.SMALL
+         else params.big_lwe_dimension)
+    return BoolCiphertext(lwe=trivial_lwe(pts, n, LOG_Q))
+
+
+def decrypt(ck: ClientKey, ct: BoolCiphertext):
+    """→ bool array [...]: true iff the phase lies in the positive half."""
+    phase = decrypt_lwe(ct.lwe, ck.encryption_key, LOG_Q)
+    return phase.astype(jnp.int32) > 0
+
+
+# ---------------------------------------------------------------------------
+# the bootstrapping pattern
+# ---------------------------------------------------------------------------
+
+
+def _sign_accumulator(params: BooleanParameters) -> GlweCiphertext:
+    """Trivial GLWE accumulator with all body coefficients = 1/8
+    (reference engine/bootstrapping.rs:59-60)."""
+    body = jnp.full((params.polynomial_size,), PLAINTEXT_TRUE, dtype=jnp.uint32)
+    return trivial_glwe(body, params.glwe_dimension, LOG_Q)
+
+
+def _apply_bootstrapping_pattern(sk: ServerKey, lwe: LweCiphertext) -> LweCiphertext:
+    """KS→PBS or PBS→KS per parameter choice
+    (reference apply_bootstrapping_pattern, engine/bootstrapping.rs:392)."""
+    acc = _sign_accumulator(sk.params)
+    if sk.params.pbs_order == PBSOrder.KEYSWITCH_BOOTSTRAP:
+        small = keyswitch_lwe(lwe, sk.ksk, LOG_Q)
+        return programmable_bootstrap(small, acc, sk.bsk, LOG_Q)
+    big = programmable_bootstrap(lwe, acc, sk.bsk, LOG_Q)
+    return keyswitch_lwe(big, sk.ksk, LOG_Q)
+
+
+def _gate(sk: ServerKey, combo: LweCiphertext) -> BoolCiphertext:
+    return BoolCiphertext(lwe=_apply_bootstrapping_pattern(sk, combo))
+
+
+# ---------------------------------------------------------------------------
+# gates (linear combinations per reference boolean/engine/mod.rs:608-830)
+# ---------------------------------------------------------------------------
+
+
+def and_(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
+    data = a.lwe.data + b.lwe.data
+    data = data.at[..., -1].add(PLAINTEXT_FALSE)          # - 1/8
+    return _gate(sk, LweCiphertext(data=data))
+
+
+def nand(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
+    data = -(a.lwe.data + b.lwe.data)
+    data = data.at[..., -1].add(PLAINTEXT_TRUE)           # + 1/8
+    return _gate(sk, LweCiphertext(data=data))
+
+
+def or_(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
+    data = a.lwe.data + b.lwe.data
+    data = data.at[..., -1].add(PLAINTEXT_TRUE)           # + 1/8
+    return _gate(sk, LweCiphertext(data=data))
+
+
+def nor(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
+    data = -(a.lwe.data + b.lwe.data)
+    data = data.at[..., -1].add(PLAINTEXT_FALSE)          # - 1/8
+    return _gate(sk, LweCiphertext(data=data))
+
+
+def xor_(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
+    data = a.lwe.data + b.lwe.data
+    data = data.at[..., -1].add(PLAINTEXT_TRUE)
+    data = data * jnp.uint32(2)                           # 2*(a + b + 1/8)
+    return _gate(sk, LweCiphertext(data=data))
+
+
+def xnor(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
+    data = a.lwe.data + b.lwe.data
+    data = data.at[..., -1].add(PLAINTEXT_TRUE)
+    data = -data * jnp.uint32(2)                          # 2*(-(a + b) - 1/8)
+    return _gate(sk, LweCiphertext(data=data))
+
+
+def not_(a: BoolCiphertext) -> BoolCiphertext:
+    """Negation is linear — no PBS (reference engine/mod.rs `not`)."""
+    return BoolCiphertext(lwe=LweCiphertext(data=-a.lwe.data))
+
+
+def mux(sk: ServerKey, cond: BoolCiphertext, then_ct: BoolCiphertext,
+        else_ct: BoolCiphertext) -> BoolCiphertext:
+    """(cond AND then) + (NOT cond AND else): two PBS + linear recombination
+    (reference engine/mod.rs:461-570)."""
+    c1 = cond.lwe.data + then_ct.lwe.data
+    c1 = c1.at[..., -1].add(PLAINTEXT_FALSE)
+    c2 = -cond.lwe.data + else_ct.lwe.data
+    c2 = c2.at[..., -1].add(PLAINTEXT_FALSE)
+
+    acc = _sign_accumulator(sk.params)
+    if sk.params.pbs_order == PBSOrder.KEYSWITCH_BOOTSTRAP:
+        p1 = programmable_bootstrap(keyswitch_lwe(LweCiphertext(c1), sk.ksk, LOG_Q),
+                                    acc, sk.bsk, LOG_Q)
+        p2 = programmable_bootstrap(keyswitch_lwe(LweCiphertext(c2), sk.ksk, LOG_Q),
+                                    acc, sk.bsk, LOG_Q)
+        out = p1.data + p2.data
+        out = out.at[..., -1].add(PLAINTEXT_TRUE)
+        return BoolCiphertext(lwe=LweCiphertext(data=out))
+    p1 = programmable_bootstrap(LweCiphertext(c1), acc, sk.bsk, LOG_Q)
+    p2 = programmable_bootstrap(LweCiphertext(c2), acc, sk.bsk, LOG_Q)
+    out = p1.data + p2.data
+    out = out.at[..., -1].add(PLAINTEXT_TRUE)
+    return BoolCiphertext(lwe=keyswitch_lwe(LweCiphertext(data=out), sk.ksk, LOG_Q))

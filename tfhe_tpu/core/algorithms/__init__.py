@@ -1,0 +1,14 @@
+from .bootstrap import (blind_rotate, blind_rotate_only, cmux,
+                        external_product_accumulate, external_product_num_primes,
+                        modulus_switch, programmable_bootstrap, sample_extract)
+from .encryption import (bootstrap_key_to_ntt, decrypt_glwe, decrypt_lwe,
+                         encrypt_constant_ggsw, encrypt_glwe, encrypt_lwe,
+                         generate_bootstrap_key, generate_glwe_secret_key,
+                         generate_keyswitch_key, generate_lwe_secret_key,
+                         generate_packing_keyswitch_key, trivial_glwe,
+                         trivial_lwe)
+from .keyswitch import (keyswitch_lwe, packing_keyswitch_lwe_list_to_glwe,
+                        packing_keyswitch_lwe_to_glwe)
+from .linear import (glwe_add, glwe_add_plaintext_poly, glwe_sub, lwe_add,
+                     lwe_add_plaintext, lwe_mul_cleartext, lwe_neg, lwe_sub,
+                     lwe_sub_plaintext)

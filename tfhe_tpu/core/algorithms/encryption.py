@@ -1,0 +1,235 @@
+"""Key generation and encryption/decryption for LWE / GLWE / GGSW.
+
+Covers the reference algorithm files `lwe_encryption.rs`, `glwe_encryption.rs`,
+`ggsw_encryption.rs`, `lwe_secret_key_generation.rs`,
+`glwe_secret_key_generation.rs`, `lwe_bootstrap_key_generation.rs`,
+`lwe_keyswitch_key_generation.rs` (tfhe/src/core_crypto/algorithms/) —
+re-expressed as pure functions over batched arrays with counter-based
+deterministic randomness (rng.fork replaces the reference's CSPRNG fork maps).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import rng
+from ..decomposition import signed_decompose
+from ..entities import (GgswCiphertext, GlweCiphertext, GlweSecretKey,
+                        LweBootstrapKey, LweCiphertext, LweKeyswitchKey,
+                        LwePackingKeyswitchKey, LweSecretKey, NttLweBootstrapKey)
+from ..numeric import torus_dtype
+from ..params import DecompParams
+from ..poly import get_plan, negacyclic_polymul, ntt_forward, required_num_primes
+
+# ---------------------------------------------------------------------------
+# secret keys
+# ---------------------------------------------------------------------------
+
+
+def generate_lwe_secret_key(key, lwe_dimension: int) -> LweSecretKey:
+    return LweSecretKey(bits=rng.binary_key(key, (lwe_dimension,)))
+
+
+def generate_glwe_secret_key(key, glwe_dimension: int, polynomial_size: int) -> GlweSecretKey:
+    return GlweSecretKey(bits=rng.binary_key(key, (glwe_dimension, polynomial_size)))
+
+
+# ---------------------------------------------------------------------------
+# LWE
+# ---------------------------------------------------------------------------
+
+
+def _mask_dot_key(mask, bits, dtype):
+    """<a, s> for binary s — a masked sum (no multiply needed)."""
+    sel = jnp.where(bits.astype(jnp.int32) != 0, mask, jnp.zeros_like(mask))
+    return sel.sum(axis=-1, dtype=dtype)
+
+
+def encrypt_lwe(key, sk: LweSecretKey, plaintexts, noise_std: float, log_q: int) -> LweCiphertext:
+    """Encrypt a batch of torus plaintexts [...] → LweCiphertext [..., n+1].
+    Reference: encrypt_lwe_ciphertext (algorithms/lwe_encryption.rs:223)."""
+    dt = torus_dtype(log_q)
+    pts = jnp.asarray(plaintexts).astype(dt)
+    n = sk.lwe_dimension
+    mask_key, noise_key = rng.split(key)
+    mask = rng.uniform_torus(mask_key, pts.shape + (n,), log_q)
+    noise = rng.gaussian_noise(noise_key, pts.shape, noise_std, log_q)
+    body = _mask_dot_key(mask, sk.bits, dt) + pts + noise
+    return LweCiphertext(data=jnp.concatenate([mask, body[..., None]], axis=-1))
+
+
+def encrypt_lwe_deterministic_mask(mask, sk: LweSecretKey, plaintexts, noise, log_q: int):
+    """Body computation given externally drawn mask/noise (used by seeded
+    entities and key generation loops)."""
+    dt = torus_dtype(log_q)
+    body = _mask_dot_key(mask, sk.bits, dt) + jnp.asarray(plaintexts).astype(dt) + noise
+    return jnp.concatenate([mask, body[..., None]], axis=-1)
+
+
+def decrypt_lwe(ct: LweCiphertext, sk: LweSecretKey, log_q: int):
+    """Phase b - <a, s> (message + noise).  Reference: decrypt_lwe_ciphertext
+    (algorithms/lwe_encryption.rs:502)."""
+    dt = torus_dtype(log_q)
+    return ct.body - _mask_dot_key(ct.mask, sk.bits, dt)
+
+
+def trivial_lwe(plaintexts, lwe_dimension: int, log_q: int) -> LweCiphertext:
+    dt = torus_dtype(log_q)
+    pts = jnp.asarray(plaintexts).astype(dt)
+    mask = jnp.zeros(pts.shape + (lwe_dimension,), dtype=dt)
+    return LweCiphertext(data=jnp.concatenate([mask, pts[..., None]], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# GLWE
+# ---------------------------------------------------------------------------
+
+
+def _glwe_mask_dot_key(mask, bits, log_q: int):
+    """Σ_i a_i * s_i over Z_q[X]/(X^N+1) for binary key polys.
+
+    mask [..., k, N] torus, bits [k, N] ∈ {0,1} → [..., N].
+    Exact via CRT-NTT (bound: N * 2^q * k; uint32 inputs enter the NTT as
+    unsigned representatives, hence log_q not log_q - 1)."""
+    n = mask.shape[-1]
+    k = bits.shape[-2]
+    log_bound = log_q + np.log2(n) + np.log2(max(k, 1))
+    plan = get_plan(n, required_num_primes(log_bound))
+    m_hat = ntt_forward(plan, mask)                  # [..., k, P, N]
+    s_hat = ntt_forward(plan, bits.astype(jnp.int8))  # [k, P, N]
+    prod = (m_hat * s_hat) % plan.p_arr
+    acc = prod.sum(axis=-3) % plan.p_arr             # sum over k: k*p^2 < 2^64 for k<=6
+    from ..poly import garner_to_torus, ntt_inverse
+    return garner_to_torus(plan, ntt_inverse(plan, acc), log_q)
+
+
+def encrypt_glwe(key, sk: GlweSecretKey, plaintext_polys, noise_std: float,
+                 log_q: int) -> GlweCiphertext:
+    """plaintext_polys [..., N] → GlweCiphertext [..., k+1, N].
+    Reference: encrypt_glwe_ciphertext (algorithms/glwe_encryption.rs)."""
+    dt = torus_dtype(log_q)
+    pts = jnp.asarray(plaintext_polys).astype(dt)
+    k, n = sk.glwe_dimension, sk.polynomial_size
+    mask_key, noise_key = rng.split(key)
+    mask = rng.uniform_torus(mask_key, pts.shape[:-1] + (k, n), log_q)
+    noise = rng.gaussian_noise(noise_key, pts.shape, noise_std, log_q)
+    body = _glwe_mask_dot_key(mask, sk.bits, log_q) + pts + noise
+    return GlweCiphertext(data=jnp.concatenate([mask, body[..., None, :]], axis=-2))
+
+
+def decrypt_glwe(ct: GlweCiphertext, sk: GlweSecretKey, log_q: int):
+    return ct.body - _glwe_mask_dot_key(ct.mask, sk.bits, log_q)
+
+
+def trivial_glwe(plaintext_polys, glwe_dimension: int, log_q: int) -> GlweCiphertext:
+    dt = torus_dtype(log_q)
+    pts = jnp.asarray(plaintext_polys).astype(dt)
+    mask = jnp.zeros(pts.shape[:-1] + (glwe_dimension, pts.shape[-1]), dtype=dt)
+    return GlweCiphertext(data=jnp.concatenate([mask, pts[..., None, :]], axis=-2))
+
+
+# ---------------------------------------------------------------------------
+# GGSW & bootstrap key
+# ---------------------------------------------------------------------------
+
+
+def encrypt_constant_ggsw(key, sk: GlweSecretKey, msg, decomp: DecompParams,
+                          noise_std: float, log_q: int) -> GgswCiphertext:
+    """GGSW of a small constant message (reference
+    encrypt_constant_ggsw_ciphertext, algorithms/ggsw_encryption.rs):
+    encrypt zero GLWEs, then add m*q/B^(l+1) on the diagonal component —
+    adding δ to mask component r encrypts -δ·s_r; adding to the body encrypts +δ.
+    """
+    dt = torus_dtype(log_q)
+    k, n = sk.glwe_dimension, sk.polynomial_size
+    levels = decomp.level
+    zeros = jnp.zeros((levels, k + 1, n), dtype=dt)
+    keys = rng.split(key, levels * (k + 1))
+
+    def enc_zero(subkey):
+        return encrypt_glwe(subkey, sk, jnp.zeros((n,), dtype=dt), noise_std, log_q).data
+
+    rows = jax.vmap(enc_zero)(keys).reshape(levels, k + 1, k + 1, n)
+    m = jnp.asarray(msg).astype(jnp.int64)
+    lvl_factors = jnp.stack(
+        [(m.astype(dt) * (dt(1) << dt(log_q - decomp.base_log * (l + 1))))
+         for l in range(levels)])                        # [levels]
+    # gadget matrix: +m*g_l at diagonal position r of the row-(l, r) GLWE —
+    # for mask rows this encrypts -m*s_r*g_l via the phase relation.
+    add = jnp.broadcast_to(lvl_factors[:, None], (levels, k + 1))   # [levels, k+1]
+    diag = jnp.zeros((levels, k + 1, k + 1, n), dtype=dt)
+    r_idx = jnp.arange(k + 1)
+    diag = diag.at[:, r_idx, r_idx, 0].add(add)
+    return GgswCiphertext(data=rows + diag, decomp=decomp)
+
+
+def generate_bootstrap_key(key, lwe_sk: LweSecretKey, glwe_sk: GlweSecretKey,
+                           decomp: DecompParams, noise_std: float,
+                           log_q: int) -> LweBootstrapKey:
+    """One GGSW per input-LWE key bit, with deterministically forked streams —
+    parallel generation reproduces sequential output by construction.
+    Reference: par_allocate_and_generate_new_lwe_bootstrap_key
+    (algorithms/lwe_bootstrap_key_generation.rs)."""
+    n_in = lwe_sk.lwe_dimension
+    keys = rng.split(key, n_in)
+
+    def one(subkey, bit):
+        return encrypt_constant_ggsw(subkey, glwe_sk, bit, decomp, noise_std, log_q).data
+
+    data = jax.vmap(one)(keys, lwe_sk.bits)
+    return LweBootstrapKey(data=data, decomp=decomp)
+
+
+def bootstrap_key_to_ntt(bsk: LweBootstrapKey, log_q: int,
+                         num_primes: int) -> NttLweBootstrapKey:
+    """Pre-transform every BSK polynomial into the CRT-NTT domain (the
+    Fourier-BSK conversion, reference
+    par_convert_standard_lwe_bootstrap_key_to_fourier).
+
+    Output layout [n, P, l*(k+1), k+1, N] uint32 — contraction axis (level,
+    input-component) flattened, ready for the external-product MAC."""
+    n_in, levels, glwe_size, _, n = bsk.data.shape
+    plan = get_plan(n, num_primes)
+    hat = ntt_forward(plan, bsk.data)        # [n, l, k+1(row), k+1(comp), P, N]
+    hat = jnp.moveaxis(hat, -2, 1)           # [n, P, l, row, comp, N]
+    hat = hat.reshape(n_in, plan.num_primes, levels * glwe_size, glwe_size, n)
+    return NttLweBootstrapKey(data=hat.astype(jnp.uint32), decomp=bsk.decomp, log_q=log_q)
+
+
+# ---------------------------------------------------------------------------
+# keyswitch keys
+# ---------------------------------------------------------------------------
+
+
+def generate_keyswitch_key(key, in_sk: LweSecretKey, out_sk: LweSecretKey,
+                           decomp: DecompParams, noise_std: float,
+                           log_q: int) -> LweKeyswitchKey:
+    """KSK[i, l] = LWE_out( s_in[i] * q/B^(l+1) ).
+    Reference: allocate_and_generate_new_lwe_keyswitch_key
+    (algorithms/lwe_keyswitch_key_generation.rs)."""
+    dt = torus_dtype(log_q)
+    n_in = in_sk.lwe_dimension
+    levels = decomp.level
+    weights = jnp.stack([dt(1) << dt(log_q - decomp.base_log * (l + 1))
+                         for l in range(levels)])
+    pts = in_sk.bits.astype(dt)[:, None] * weights[None, :]      # [n_in, l]
+    ct = encrypt_lwe(key, out_sk, pts, noise_std, log_q)
+    return LweKeyswitchKey(data=ct.data, decomp=decomp)
+
+
+def generate_packing_keyswitch_key(key, in_sk: LweSecretKey, out_sk: GlweSecretKey,
+                                   decomp: DecompParams, noise_std: float,
+                                   log_q: int) -> LwePackingKeyswitchKey:
+    """PKSK[i, l] = GLWE_out( s_in[i] * q/B^(l+1) ) (constant polynomial).
+    Reference: lwe_packing_keyswitch_key_generation.rs."""
+    dt = torus_dtype(log_q)
+    n_in = in_sk.lwe_dimension
+    levels = decomp.level
+    n = out_sk.polynomial_size
+    weights = jnp.stack([dt(1) << dt(log_q - decomp.base_log * (l + 1))
+                         for l in range(levels)])
+    pts = jnp.zeros((n_in, levels, n), dtype=dt)
+    pts = pts.at[:, :, 0].set(in_sk.bits.astype(dt)[:, None] * weights[None, :])
+    ct = encrypt_glwe(key, out_sk, pts, noise_std, log_q)
+    return LwePackingKeyswitchKey(data=ct.data, decomp=decomp)

@@ -1,0 +1,250 @@
+"""Ciphertext / key entities as batched JAX arrays.
+
+TPU-native re-design of the reference's 37 container-generic entity types
+(tfhe/src/core_crypto/entities/): instead of flat-slice containers with
+owned/view/mut variants, each entity is a frozen pytree (flax.struct) holding
+one dense array whose *leading* axes are free batch axes.  Layouts:
+
+  LweCiphertext.data      [..., n+1]            mask a_0..a_{n-1}, body b last
+  GlweCiphertext.data     [..., k+1, N]         k mask polys then body poly
+  GgswCiphertext.data     [..., l, k+1, k+1, N] level-major rows, each a GLWE
+  LweKeyswitchKey.data    [n_in, l, n_out+1]
+  LwePackingKeyswitchKey.data [n_in, l, k+1, N]
+  LweBootstrapKey.data    [n, l, k+1, k+1, N]   GGSW per input key bit
+  NttLweBootstrapKey      BSK pre-transformed to the NTT domain (the Fourier
+                          BSK analogue, reference fft64/crypto/bootstrap.rs:27)
+
+dtype is uint64 (or uint32 for the boolean scheme's 32-bit torus); wrapping
+unsigned arithmetic is torus addition.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct as struct
+import jax.numpy as jnp
+
+from .params import DecompParams
+
+
+def _static(**kw):
+    return struct.field(pytree_node=False, **kw)
+
+
+@struct.dataclass
+class LweCiphertext:
+    """(a, b) with b = <a, s> + m + e.  data[..., n+1], body last.
+    Reference: entities/lwe_ciphertext.rs:501."""
+
+    data: Any
+
+    @property
+    def lwe_dimension(self) -> int:
+        return self.data.shape[-1] - 1
+
+    @property
+    def mask(self):
+        return self.data[..., :-1]
+
+    @property
+    def body(self):
+        return self.data[..., -1]
+
+    @property
+    def batch_shape(self):
+        return self.data.shape[:-1]
+
+
+@struct.dataclass
+class LweSecretKey:
+    """Binary key bits as int8[n].  Reference: entities/lwe_secret_key.rs."""
+
+    bits: Any
+
+    @property
+    def lwe_dimension(self) -> int:
+        return self.bits.shape[-1]
+
+
+@struct.dataclass
+class GlweCiphertext:
+    """data[..., k+1, N]: k uniform mask polynomials then the body polynomial.
+    Reference: entities/glwe_ciphertext.rs."""
+
+    data: Any
+
+    @property
+    def glwe_dimension(self) -> int:
+        return self.data.shape[-2] - 1
+
+    @property
+    def polynomial_size(self) -> int:
+        return self.data.shape[-1]
+
+    @property
+    def mask(self):
+        return self.data[..., :-1, :]
+
+    @property
+    def body(self):
+        return self.data[..., -1, :]
+
+
+@struct.dataclass
+class GlweSecretKey:
+    """k binary polynomials, int8[k, N].  The flattened view (row-major,
+    poly-coefficient minor) is the 'big' LWE key of dim k*N, matching the
+    reference's `into_lwe_secret_key` semantics."""
+
+    bits: Any
+
+    @property
+    def glwe_dimension(self) -> int:
+        return self.bits.shape[-2]
+
+    @property
+    def polynomial_size(self) -> int:
+        return self.bits.shape[-1]
+
+    def as_lwe_secret_key(self) -> LweSecretKey:
+        return LweSecretKey(bits=self.bits.reshape(*self.bits.shape[:-2], -1))
+
+
+@struct.dataclass
+class GgswCiphertext:
+    """data[..., l, k+1, k+1, N]: level-major; row r of level j encrypts
+    -m * s_r * q/B^{j+1} (last row: +m * q/B^{j+1}).
+    Reference: entities/ggsw_ciphertext.rs."""
+
+    data: Any
+    decomp: DecompParams = _static(default=None)
+
+    @property
+    def level_count(self) -> int:
+        return self.data.shape[-4]
+
+    @property
+    def glwe_size(self) -> int:
+        return self.data.shape[-3]
+
+    @property
+    def polynomial_size(self) -> int:
+        return self.data.shape[-1]
+
+
+@struct.dataclass
+class LweBootstrapKey:
+    """data[n, l, k+1, k+1, N] — one GGSW (of the GLWE key) per bit of the
+    input LWE key.  Reference: entities/lwe_bootstrap_key.rs."""
+
+    data: Any
+    decomp: DecompParams = _static(default=None)
+
+    @property
+    def input_lwe_dimension(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def glwe_size(self) -> int:
+        return self.data.shape[-3]
+
+    @property
+    def polynomial_size(self) -> int:
+        return self.data.shape[-1]
+
+    @property
+    def output_lwe_dimension(self) -> int:
+        return (self.glwe_size - 1) * self.polynomial_size
+
+
+@struct.dataclass
+class NttLweBootstrapKey:
+    """BSK with every polynomial pre-transformed into the CRT-NTT domain —
+    the analogue of the reference's `FourierLweBootstrapKey`
+    (fft_impl/fft64/crypto/bootstrap.rs:27), computed once at keygen.
+
+    data[n, P, l*(k+1), k+1, N] uint32: P CRT primes, contraction axis
+    l*(k+1) flattened to feed the external-product MAC directly.
+    """
+
+    data: Any
+    decomp: DecompParams = _static(default=None)
+    log_q: int = _static(default=64)
+
+    @property
+    def input_lwe_dimension(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def glwe_size(self) -> int:
+        return self.data.shape[-2]
+
+    @property
+    def polynomial_size(self) -> int:
+        return self.data.shape[-1]
+
+
+@struct.dataclass
+class LweKeyswitchKey:
+    """data[n_in, l, n_out+1]: level-major LWE encryptions of s_i * q/B^{j+1}.
+    Reference: entities/lwe_keyswitch_key.rs."""
+
+    data: Any
+    decomp: DecompParams = _static(default=None)
+
+    @property
+    def input_lwe_dimension(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def output_lwe_dimension(self) -> int:
+        return self.data.shape[-1] - 1
+
+
+@struct.dataclass
+class LwePackingKeyswitchKey:
+    """data[n_in, l, k+1, N]: GLWE encryptions of s_i * q/B^{j+1}.
+    Reference: entities/lwe_packing_keyswitch_key.rs."""
+
+    data: Any
+    decomp: DecompParams = _static(default=None)
+
+    @property
+    def input_lwe_dimension(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def glwe_size(self) -> int:
+        return self.data.shape[-2]
+
+    @property
+    def polynomial_size(self) -> int:
+        return self.data.shape[-1]
+
+
+@struct.dataclass
+class GlweRelinearizationKey:
+    """Fork entity (entities/custom_glwe_relinearization_key.rs): for each
+    unordered pair (i <= j) of GLWE key polys, l GLWE encryptions of
+    s_i*s_j * q/B^(lvl+1).  data[num_pairs, l, k+1, N], pairs in row-major
+    (i, j >= i) order."""
+
+    data: Any
+    decomp: DecompParams = _static(default=None)
+
+    @property
+    def glwe_size(self) -> int:
+        return self.data.shape[-2]
+
+    @property
+    def polynomial_size(self) -> int:
+        return self.data.shape[-1]
+
+
+@struct.dataclass
+class Plaintext:
+    data: Any
+
+
+def lwe_size(lwe_dimension: int) -> int:
+    return lwe_dimension + 1

@@ -1,0 +1,18 @@
+"""shortint — message+carry encoded words with LUT bootstrapping.
+
+Re-design of the reference's workhorse scheme (tfhe/src/shortint/, 25 kLoC):
+a shortint ciphertext is an LWE encryption of `m * Δ` with
+Δ = q / (2 * message_modulus * carry_modulus) (one padding bit); operations
+track `degree` (max attainable value) and `noise_level` as *static* host-side
+metadata (they are data-independent, so they live on the pytree's aux side —
+the jit-friendly equivalent of shortint/ciphertext/mod.rs:263 bookkeeping).
+
+Batching: `Ciphertext.lwe.data` is [..., n+1]; every server-key op maps over
+the batch in one XLA program.
+"""
+from .ciphertext import Ciphertext, NoiseLevel
+from .client_key import ClientKey, gen_keys
+from .server_key import LookupTable, MaxDegree, ServerKey
+
+__all__ = ["Ciphertext", "ClientKey", "ServerKey", "LookupTable", "MaxDegree",
+           "NoiseLevel", "gen_keys"]

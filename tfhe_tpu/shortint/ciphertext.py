@@ -1,0 +1,47 @@
+"""Shortint ciphertext with degree/noise bookkeeping
+(reference shortint/ciphertext/mod.rs)."""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct as struct
+
+from ..core.entities import LweCiphertext
+
+
+class NoiseLevel:
+    """Mirrors reference `NoiseLevel` (shortint/ciphertext/mod.rs:64):
+    NOMINAL after a PBS, ZERO for trivial, grows additively with linear ops."""
+
+    ZERO = 0
+    NOMINAL = 1
+    UNKNOWN = 1 << 30
+
+
+@struct.dataclass
+class Ciphertext:
+    """LWE + static metadata.  `degree` bounds the *value* held (for carry
+    overflow checks); `noise_level` counts accumulated linear operations."""
+
+    lwe: LweCiphertext
+    degree: int = struct.field(pytree_node=False, default=0)
+    message_modulus: int = struct.field(pytree_node=False, default=4)
+    carry_modulus: int = struct.field(pytree_node=False, default=4)
+    noise_level: int = struct.field(pytree_node=False, default=NoiseLevel.NOMINAL)
+
+    @property
+    def batch_shape(self):
+        return self.lwe.batch_shape
+
+    @property
+    def carry_is_empty(self) -> bool:
+        return self.degree < self.message_modulus
+
+    def with_(self, lwe=None, degree=None, noise_level=None) -> "Ciphertext":
+        return Ciphertext(
+            lwe=self.lwe if lwe is None else lwe,
+            degree=self.degree if degree is None else degree,
+            message_modulus=self.message_modulus,
+            carry_modulus=self.carry_modulus,
+            noise_level=self.noise_level if noise_level is None else noise_level,
+        )
