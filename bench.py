@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark: batched shortint keyswitch+PBS throughput on the attached
+accelerator (the reference's headline metric: shortint PBS at
+PARAM_MESSAGE_2_CARRY_2, 16.6 ms/op ≈ 60 PBS/s/core on an m6i.metal core —
+BASELINE.md / reference docs/getting_started/benchmarks.md:42).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Keys are generated on the host CPU (client-side operation), pushed to the
+device once, and the batched KS+PBS program is jitted over the batch axis.
+"""
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tfhe_tpu  # noqa: F401  (enables x64)
+from tfhe_tpu import shortint
+from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT, shortint_params
+
+REFERENCE_PBS_PER_SEC = 1000.0 / 16.6  # ≈ 60.2 (m6i.metal, 1 core)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--params", default="PARAM_MESSAGE_2_CARRY_2_KS_PBS")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--test-params", action="store_true",
+                    help="use the tiny insecure test set (CI smoke)")
+    args = ap.parse_args()
+
+    params = TEST_PARAMS_SHORTINT if args.test_params else shortint_params(args.params)
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    dev = jax.devices()[0]
+    print(f"# keygen on {cpu}, bench on {dev}", file=sys.stderr)
+
+    t0 = time.time()
+    with jax.default_device(cpu):
+        ck, sk = shortint.gen_keys(params, seed=1)
+        lut = sk.generate_lookup_table(lambda x: (3 * x + 1) % params.message_modulus)
+        msgs = jnp.arange(args.batch, dtype=jnp.uint64) % params.message_modulus
+        ct = ck.encrypt(msgs, seed=2)
+    print(f"# keygen: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    sk_dev = jax.device_put(sk, dev)
+    lut_dev = jax.device_put(lut, dev)
+    ct_dev = jax.device_put(ct.lwe.data, dev)
+
+    @jax.jit
+    def pbs_batch(data, sk, lut):
+        c = ct.with_(lwe=type(ct.lwe)(data=data))
+        return sk.apply_lookup_table(c, lut).lwe.data
+
+    t0 = time.time()
+    out = pbs_batch(ct_dev, sk_dev, lut_dev)
+    out.block_until_ready()
+    print(f"# first call (compile+run): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # chain output->input so every iteration is a real, uncacheable execution
+    # (the PBS output lives under the same big key as its input in KS_PBS order)
+    t0 = time.time()
+    cur = out
+    for _ in range(args.iters):
+        cur = pbs_batch(cur, sk_dev, lut_dev)
+    cur.block_until_ready()
+    dt = (time.time() - t0) / args.iters
+    pbs_per_sec = args.batch / dt
+    out = pbs_batch(ct_dev, sk_dev, lut_dev)
+
+    # correctness check on the benched outputs
+    with jax.default_device(cpu):
+        dec = np.asarray(ck.decrypt(ct.with_(lwe=type(ct.lwe)(
+            data=jax.device_put(out, cpu)), degree=params.message_modulus - 1)))
+    expect = (3 * np.asarray(msgs) + 1) % params.message_modulus
+    ok = bool(np.array_equal(dec, expect))
+    print(f"# batch={args.batch} time/batch={dt*1000:.1f}ms correct={ok}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "shortint_ks_pbs_throughput",
+        "value": round(pbs_per_sec, 2),
+        "unit": "PBS/s",
+        "vs_baseline": round(pbs_per_sec / REFERENCE_PBS_PER_SEC, 3),
+        "correct": ok,
+        "params": params.name,
+        "batch": args.batch,
+    }))
+
+
+if __name__ == "__main__":
+    main()

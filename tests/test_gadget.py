@@ -1,0 +1,152 @@
+"""Gadget (p-encodings) tests: encodings, gadget gates, LUTs, encoding
+switching, MVB, tree bootstrap, GLWE mult and WoP-PBS — mirroring the fork's
+gate tests (gadget/server_key/tests.rs)."""
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu import gadget
+from tfhe_tpu.gadget import Encoding, Gadget
+from tfhe_tpu.gadget import engine as ge
+from tfhe_tpu.core.params import TEST_PARAMS_GADGET
+
+
+@pytest.fixture(scope="module")
+def gkeys():
+    return gadget.gen_keys(TEST_PARAMS_GADGET, seed=23)
+
+
+def test_encoding_validation():
+    e = Encoding.new_canonical_binary(1, 5)
+    assert e.is_valid() and e.is_canonical()
+    assert e.inverse_encoding(1) == 1 and e.inverse_encoding(0) == 0
+    assert e.apply_lut_to_encoding(lambda x: 1 - x).parts[0] == frozenset([1])
+    with pytest.raises(ValueError):
+        # even p, non-negacyclic: x and its opposite in non-mirror parts
+        Encoding(2, [[0], [2]], 4)
+
+
+def test_encrypt_decrypt(gkeys):
+    ck, _ = gkeys
+    enc = Encoding.new_canonical(5, [0, 1, 2, 3, 4], 11)
+    msgs = jnp.asarray([0, 1, 2, 3, 4])
+    ct = gadget.encrypt_arithmetic(ck, msgs, enc, seed=3)
+    np.testing.assert_array_equal(gadget.decrypt(ck, ct), np.arange(5))
+
+
+@pytest.mark.parametrize("name,fn,vals,p", [
+    ("and", lambda a, b: a & b, [1, 2], 5),
+    ("or", lambda a, b: a | b, [1, 2], 5),
+    ("xor", lambda a, b: a ^ b, [1, 2], 5),
+    ("nand", lambda a, b: 1 - (a & b), [1, 2], 5),
+])
+def test_gadget_gates(gkeys, name, fn, vals, p):
+    ck, sk = gkeys
+    g = Gadget.new_canonical(fn, 2, vals, 1, p, p)
+    a_bits = jnp.asarray([0, 0, 1, 1])
+    b_bits = jnp.asarray([0, 1, 0, 1])
+    ca = gadget.encrypt_arithmetic(ck, a_bits, g.enc_in[0], seed=4)
+    cb = gadget.encrypt_arithmetic(ck, b_bits, g.enc_in[1], seed=5)
+    out = g.exec(sk, [ca, cb])
+    expect = [fn(a, b) for a, b in zip([0, 0, 1, 1], [0, 1, 0, 1])]
+    np.testing.assert_array_equal(gadget.decrypt(ck, out), expect, err_msg=name)
+
+
+def test_three_input_majority(gkeys):
+    ck, sk = gkeys
+    maj = lambda a, b, c: int(a + b + c >= 2)
+    g = Gadget.new_canonical(maj, 3, [1, 1, 1], 1, 7, 7)
+    combos = list(itertools.product([0, 1], repeat=3))
+    cols = list(zip(*combos))
+    cts = [gadget.encrypt_arithmetic(ck, jnp.asarray(col), g.enc_in[i], seed=6 + i)
+           for i, col in enumerate(cols)]
+    out = g.exec(sk, cts)
+    np.testing.assert_array_equal(gadget.decrypt(ck, out),
+                                  [maj(*c) for c in combos])
+
+
+def test_apply_lut(gkeys):
+    ck, sk = gkeys
+    enc = Encoding.new_canonical(5, [0, 1, 2, 3, 4], 11)
+    enc_out = Encoding.new_canonical(5, [0, 1, 2, 3, 4], 11)
+    ct = gadget.encrypt_arithmetic(ck, jnp.asarray([0, 1, 2, 3, 4]), enc, seed=8)
+    out = ge.apply_lut(sk, ct, enc_out, lambda x: (x * 2) % 5)
+    np.testing.assert_array_equal(gadget.decrypt(ck, out),
+                                  [(x * 2) % 5 for x in range(5)])
+
+
+def test_encoding_switching(gkeys):
+    ck, _ = gkeys
+    enc = Encoding.new_canonical_binary(1, 7)
+    ct = gadget.encrypt_arithmetic(ck, jnp.asarray([0, 1]), enc, seed=9)
+    mul = ge.encoding_switching_mul_constant(ct, 3)
+    assert mul.encoding.parts[1] == frozenset([3])
+    np.testing.assert_array_equal(gadget.decrypt(ck, mul), [0, 1])
+    add = ge.encoding_switching_sum_constant(ct, 2)
+    assert add.encoding.parts[0] == frozenset([2])
+    np.testing.assert_array_equal(gadget.decrypt(ck, add), [0, 1])
+
+
+def test_mvb(gkeys):
+    """Multi-value bootstrap: several LUT outputs from one blind rotation."""
+    ck, sk = gkeys
+    o = 5
+    enc_in = Encoding.new_canonical(o, [0, 1, 2, 3, 4], 11)
+    enc_out = Encoding.new_canonical(o, [0, 1, 2, 3, 4], 11)
+    luts = [[(2 * x) % o for x in range(o)], [(x + 1) % o for x in range(o)]]
+    msgs = jnp.asarray([0, 1, 2, 3, 4])
+    ct = gadget.encrypt_arithmetic(ck, msgs, enc_in, seed=10)
+    outs = ge.mvb(sk, ct, [enc_out, enc_out], luts)
+    for lut, out in zip(luts, outs):
+        np.testing.assert_array_equal(gadget.decrypt(ck, out),
+                                      [lut[x] for x in range(o)])
+
+
+def test_tree_bootstrap(gkeys):
+    """Depth-2 tree: f(x1, x0) = lut[x0 + o0*x1] over Z_3 inputs."""
+    ck, sk = gkeys
+    o = 3
+    enc = Encoding.new_canonical(o, [0, 1, 2], 7)
+    t = o * o
+    lut = [(2 * i + 1) % o for i in range(t)]
+    x0 = jnp.asarray([0, 1, 2, 2])
+    x1 = jnp.asarray([0, 2, 1, 2])
+    c0 = gadget.encrypt_arithmetic(ck, x0, enc, seed=11)
+    c1 = gadget.encrypt_arithmetic(ck, x1, enc, seed=12)
+    out = ge.simple_tree_bootstrapping(sk, [c1, c0], enc, t, lut)
+    expect = [lut[int(a) + o * int(b)] for a, b in zip(np.asarray(x0), np.asarray(x1))]
+    np.testing.assert_array_equal(gadget.decrypt(ck, out), expect)
+
+
+def test_lwe_mult(gkeys):
+    """GLWE-tensor-product multiplication of power-of-two encodings."""
+    ck, sk = gkeys
+    p = 16
+    enc = Encoding.new_trivial_wopbs(p)
+    a = jnp.asarray([0, 1, 2, 3])
+    b = jnp.asarray([0, 3, 5, 5])
+    ca = gadget.encrypt_arithmetic(ck, a, enc, seed=13)
+    cb = gadget.encrypt_arithmetic(ck, b, enc, seed=14)
+    out = ge.lwe_mult(sk, ca, cb, enc)
+    np.testing.assert_array_equal(gadget.decrypt(ck, out),
+                                  (np.asarray(a) * np.asarray(b)) % p)
+
+
+def test_woppbs_lut(gkeys):
+    """WoP-PBS via multiplication: arbitrary (non-negacyclic) LUT.
+
+    Input rides an odd-p encoding (o=16 in Z_17); the first PBS emits ±f at
+    the even output modulus, the all-ones PBS emits ±1 with matching signs,
+    and the GLWE multiplication cancels the sign."""
+    ck, sk = gkeys
+    o = 16
+    enc_in = Encoding.new_canonical(o, list(range(o)), 17)
+    enc_out = Encoding.new_trivial_wopbs(o)
+    f = lambda x: (3 * x + 1) % o
+    msgs = jnp.asarray([0, 1, 7, 12, 15])
+    ct = gadget.encrypt_arithmetic(ck, msgs, enc_in, seed=15)
+    out = ge.woppbs_lut(sk, ct, enc_out, f)
+    np.testing.assert_array_equal(gadget.decrypt(ck, out),
+                                  [f(int(x)) for x in np.asarray(msgs)])

@@ -1,0 +1,91 @@
+"""HLAPI tests: operator-overloaded FheUint types against the clear model
+(the analogue of the reference's high_level_api tests)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu import hlapi
+from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT
+from tfhe_tpu import shortint, integer
+
+
+@pytest.fixture(scope="module")
+def hkeys():
+    ck_s, sk_s = shortint.gen_keys(TEST_PARAMS_SHORTINT, seed=33)
+    ck = hlapi.ClientKey(ck_s)
+    sk = hlapi.ServerKey(integer.ServerKey(key=sk_s))
+    hlapi.set_server_key(sk)
+    yield ck, sk
+    hlapi.unset_server_key()
+
+
+A = np.array([5, 200, 0, 255])
+B = np.array([3, 100, 1, 2])
+
+
+def test_fheuint8_roundtrip(hkeys):
+    ck, _ = hkeys
+    x = hlapi.FheUint8.encrypt(jnp.asarray(A), ck, seed=1)
+    np.testing.assert_array_equal(x.decrypt(ck), A)
+
+
+def test_fheuint8_arith(hkeys):
+    ck, _ = hkeys
+    x = hlapi.FheUint8.encrypt(jnp.asarray(A), ck, seed=2)
+    y = hlapi.FheUint8.encrypt(jnp.asarray(B), ck, seed=3)
+    np.testing.assert_array_equal((x + y).decrypt(ck), (A + B) % 256)
+    np.testing.assert_array_equal((x - y).decrypt(ck), (A - B) % 256)
+    np.testing.assert_array_equal((x * y).decrypt(ck), (A * B) % 256)
+    np.testing.assert_array_equal((x + 7).decrypt(ck), (A + 7) % 256)
+    np.testing.assert_array_equal((-x).decrypt(ck), (-A) % 256)
+
+
+def test_fheuint8_bitwise_shift(hkeys):
+    ck, _ = hkeys
+    x = hlapi.FheUint8.encrypt(jnp.asarray(A), ck, seed=4)
+    y = hlapi.FheUint8.encrypt(jnp.asarray(B), ck, seed=5)
+    np.testing.assert_array_equal((x & y).decrypt(ck), A & B)
+    np.testing.assert_array_equal((x | y).decrypt(ck), A | B)
+    np.testing.assert_array_equal((x ^ y).decrypt(ck), A ^ B)
+    np.testing.assert_array_equal((~x).decrypt(ck), 255 - A)
+    np.testing.assert_array_equal((x << 2).decrypt(ck), (A << 2) % 256)
+    np.testing.assert_array_equal((x >> 1).decrypt(ck), A >> 1)
+
+
+def test_fheuint8_cmp_select(hkeys):
+    ck, _ = hkeys
+    x = hlapi.FheUint8.encrypt(jnp.asarray(A), ck, seed=6)
+    y = hlapi.FheUint8.encrypt(jnp.asarray(B), ck, seed=7)
+    np.testing.assert_array_equal((x.lt(y)).decrypt(ck), A < B)
+    np.testing.assert_array_equal((x.ge(y)).decrypt(ck), A >= B)
+    np.testing.assert_array_equal((x.eq(y)).decrypt(ck), A == B)
+    cond = x.lt(y)
+    np.testing.assert_array_equal(cond.select(x, y).decrypt(ck),
+                                  np.where(A < B, A, B))
+    np.testing.assert_array_equal(x.min(y).decrypt(ck), np.minimum(A, B))
+
+
+def test_cast(hkeys):
+    ck, _ = hkeys
+    x = hlapi.FheUint8.encrypt(jnp.asarray(A), ck, seed=8)
+    wide = x.cast_into(hlapi.FheUint16)
+    np.testing.assert_array_equal(wide.decrypt(ck), A)
+    narrow = x.cast_into(hlapi.FheUint4)
+    np.testing.assert_array_equal(narrow.decrypt(ck), A % 16)
+
+
+def test_fhebool(hkeys):
+    ck, _ = hkeys
+    a = np.array([True, False, True])
+    b = np.array([True, True, False])
+    x = hlapi.FheBool.encrypt(jnp.asarray(a), ck, seed=9)
+    y = hlapi.FheBool.encrypt(jnp.asarray(b), ck, seed=10)
+    np.testing.assert_array_equal((x & y).decrypt(ck), a & b)
+    np.testing.assert_array_equal((x | y).decrypt(ck), a | b)
+    np.testing.assert_array_equal((~x).decrypt(ck), ~a)
+
+
+def test_trivial_encrypt(hkeys):
+    ck, _ = hkeys
+    x = hlapi.FheUint8.encrypt_trivial(jnp.asarray(A), ck)
+    np.testing.assert_array_equal(x.decrypt(ck), A)

@@ -1,0 +1,145 @@
+"""Radix integer tests against the clear model (the analogue of the
+reference's integer matrix, integer/server_key/radix_parallel/tests_unsigned.rs),
+on TEST_PARAMS_SHORTINT with 4 blocks of 2 bits (FheUint8-shaped)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu import integer
+from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT
+
+NB = 4  # 4 blocks x 2 bits = 8-bit integers
+MOD = 4 ** NB
+
+
+@pytest.fixture(scope="module")
+def ikeys():
+    return integer.gen_keys(TEST_PARAMS_SHORTINT, num_blocks=NB, seed=9)
+
+
+A = np.array([0, 7, 200, 255, 123])
+B = np.array([0, 9, 100, 255, 231])
+
+
+@pytest.fixture(scope="module")
+def cts(ikeys):
+    ck, _ = ikeys
+    return ck.encrypt(jnp.asarray(A), seed=1), ck.encrypt(jnp.asarray(B), seed=2)
+
+
+def test_encrypt_decrypt(ikeys):
+    ck, _ = ikeys
+    vals = jnp.asarray([0, 1, 255, 137])
+    np.testing.assert_array_equal(ck.decrypt(ck.encrypt(vals, seed=3)),
+                                  np.asarray(vals))
+
+
+def test_add_sub_neg(ikeys, cts):
+    ck, sk = ikeys
+    ca, cb = cts
+    np.testing.assert_array_equal(ck.decrypt(sk.add(ca, cb)), (A + B) % MOD)
+    np.testing.assert_array_equal(ck.decrypt(sk.sub(ca, cb)), (A - B) % MOD)
+    np.testing.assert_array_equal(ck.decrypt(sk.neg(ca)), (-A) % MOD)
+
+
+def test_scalar_add_mul(ikeys, cts):
+    ck, sk = ikeys
+    ca, _ = cts
+    np.testing.assert_array_equal(ck.decrypt(sk.scalar_add(ca, 100)),
+                                  (A + 100) % MOD)
+    np.testing.assert_array_equal(ck.decrypt(sk.scalar_sub(ca, 77)),
+                                  (A - 77) % MOD)
+    np.testing.assert_array_equal(ck.decrypt(sk.scalar_mul(ca, 5)),
+                                  (A * 5) % MOD)
+
+
+def test_mul(ikeys, cts):
+    ck, sk = ikeys
+    ca, cb = cts
+    np.testing.assert_array_equal(ck.decrypt(sk.mul(ca, cb)), (A * B) % MOD)
+
+
+def test_bitwise(ikeys, cts):
+    ck, sk = ikeys
+    ca, cb = cts
+    np.testing.assert_array_equal(ck.decrypt(sk.bitand(ca, cb)), A & B)
+    np.testing.assert_array_equal(ck.decrypt(sk.bitor(ca, cb)), A | B)
+    np.testing.assert_array_equal(ck.decrypt(sk.bitxor(ca, cb)), A ^ B)
+    np.testing.assert_array_equal(ck.decrypt(sk.bitnot(ca)), 255 - A)
+
+
+def test_comparisons(ikeys, cts):
+    ck, sk = ikeys
+    ca, cb = cts
+    for fn, op in [(sk.eq, np.equal), (sk.ne, np.not_equal),
+                   (sk.lt, np.less), (sk.le, np.less_equal),
+                   (sk.gt, np.greater), (sk.ge, np.greater_equal)]:
+        got = np.asarray(ck.key.decrypt(fn(ca, cb).block))
+        np.testing.assert_array_equal(got, op(A, B).astype(np.uint64),
+                                      err_msg=fn.__name__)
+
+
+def test_scalar_comparisons(ikeys, cts):
+    ck, sk = ikeys
+    ca, _ = cts
+    np.testing.assert_array_equal(np.asarray(ck.key.decrypt(sk.scalar_eq(ca, 200).block)),
+                                  (A == 200).astype(np.uint64))
+    np.testing.assert_array_equal(np.asarray(ck.key.decrypt(sk.scalar_lt(ca, 128).block)),
+                                  (A < 128).astype(np.uint64))
+    np.testing.assert_array_equal(np.asarray(ck.key.decrypt(sk.scalar_ge(ca, 123).block)),
+                                  (A >= 123).astype(np.uint64))
+
+
+def test_min_max_cmux(ikeys, cts):
+    ck, sk = ikeys
+    ca, cb = cts
+    np.testing.assert_array_equal(ck.decrypt(sk.min(ca, cb)), np.minimum(A, B))
+    np.testing.assert_array_equal(ck.decrypt(sk.max(ca, cb)), np.maximum(A, B))
+
+
+def test_shifts(ikeys, cts):
+    ck, sk = ikeys
+    ca, _ = cts
+    for s in [1, 3, 5]:
+        np.testing.assert_array_equal(ck.decrypt(sk.scalar_left_shift(ca, s)),
+                                      (A << s) % MOD, err_msg=f"lshift {s}")
+        np.testing.assert_array_equal(ck.decrypt(sk.scalar_right_shift(ca, s)),
+                                      A >> s, err_msg=f"rshift {s}")
+
+
+def test_cast(ikeys, cts):
+    ck, sk = ikeys
+    ca, _ = cts
+    import flax.struct  # noqa: F401
+    wide = sk.cast_to_size(ca, 6)
+    assert wide.num_blocks == 6
+    ck6 = integer.RadixClientKey(key=ck.key, num_blocks=6)
+    np.testing.assert_array_equal(ck6.decrypt(wide), A)
+    narrow = sk.cast_to_size(ca, 2)
+    ck2 = integer.RadixClientKey(key=ck.key, num_blocks=2)
+    np.testing.assert_array_equal(ck2.decrypt(narrow), A % 16)
+
+
+def test_signed(ikeys):
+    ck, sk = ikeys
+    vals = np.array([-128, -1, 0, 1, 127])
+    ct = ck.encrypt_signed(jnp.asarray(vals), seed=4)
+    np.testing.assert_array_equal(ck.decrypt_signed(ct), vals)
+    s = sk.add(ct, ct)
+    got = ck.decrypt_signed(integer.SignedRadixCiphertext(blocks=s.blocks))
+    expect = ((vals + vals + 128) % 256) - 128
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_crt(ikeys):
+    ck, sk = ikeys
+    # block moduli must fit the message space (residues < message_modulus = 4)
+    cck = integer.CrtClientKey(key=ck.key, moduli=(3, 4))
+    vals = np.array([0, 7, 11, 5])
+    ca = cck.encrypt(jnp.asarray(vals), seed=5)
+    cb = cck.encrypt(jnp.asarray(vals[::-1].copy()), seed=6)
+    np.testing.assert_array_equal(cck.decrypt(sk.crt_add(ca, cb)),
+                                  (vals + vals[::-1]) % 12)
+    np.testing.assert_array_equal(cck.decrypt(sk.crt_mul(ca, cb)),
+                                  (vals * vals[::-1]) % 12)
+    np.testing.assert_array_equal(cck.decrypt(sk.crt_neg(ca)), (-vals) % 12)

@@ -1,0 +1,114 @@
+"""Serialization, seeded/compressed entities, key cache, multichip dry run."""
+import io
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu.core import rng
+from tfhe_tpu.core.algorithms import (decrypt_lwe, generate_glwe_secret_key,
+                                      generate_lwe_secret_key)
+from tfhe_tpu.core.algorithms.seeded import (decompress_bootstrap_key,
+                                             decompress_lwe,
+                                             encrypt_lwe_seeded,
+                                             generate_seeded_bootstrap_key)
+from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT as P
+from tfhe_tpu.utils import (DeserializationError, KeyCache, load, safe_load,
+                            save, secure_seed)
+
+
+def test_seeded_lwe_roundtrip():
+    sk = generate_lwe_secret_key(rng.key_from_seed(1), P.lwe_dimension)
+    delta = np.uint64(1) << np.uint64(59)
+    msgs = jnp.arange(8, dtype=jnp.uint64) * delta
+    sct = encrypt_lwe_seeded(77, sk, msgs, P.lwe_noise_std, 64)
+    assert sct.body.shape == (8,)          # n+1 -> 1 compression
+    full = decompress_lwe(sct)
+    dec = decrypt_lwe(full, sk, 64)
+    got = np.asarray((dec + (delta >> np.uint64(1))) // delta) % 32
+    np.testing.assert_array_equal(got, np.arange(8))
+
+
+def test_seeded_bsk_roundtrip():
+    lwe_sk = generate_lwe_secret_key(rng.key_from_seed(2), 8)
+    glwe_sk = generate_glwe_secret_key(rng.key_from_seed(3), 1, 64)
+    full, seeded = generate_seeded_bootstrap_key(
+        55, lwe_sk, glwe_sk, P.pbs_decomp, P.glwe_noise_std, 64)
+    assert seeded.bodies.nbytes * 2 == full.data.nbytes  # k=1: half the size
+    rebuilt = decompress_bootstrap_key(seeded)
+    np.testing.assert_array_equal(np.asarray(rebuilt.data),
+                                  np.asarray(full.data))
+
+
+def test_save_load_roundtrip(tmp_path):
+    from tfhe_tpu import shortint
+    from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT
+    ck, sk = shortint.gen_keys(TEST_PARAMS_SHORTINT, seed=5)
+    ct = ck.encrypt(jnp.asarray([1, 2, 3]), seed=6)
+    p = tmp_path / "ct.npz"
+    save(ct, p)
+    ct2 = load(p)
+    assert ct2.degree == ct.degree
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(ct2)), [1, 2, 3])
+
+    kp = tmp_path / "ck.npz"
+    save(ck, kp)
+    ck2 = load(kp)
+    np.testing.assert_array_equal(np.asarray(ck2.decrypt(ct)), [1, 2, 3])
+    assert ck2.params == ck.params
+
+
+def test_safe_load_checks(tmp_path):
+    from tfhe_tpu import shortint
+    from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT
+    ck, _ = shortint.gen_keys(TEST_PARAMS_SHORTINT, seed=7)
+    ct = ck.encrypt(jnp.asarray([1]), seed=8)
+    p = tmp_path / "x.npz"
+    save(ct, p)
+    safe_load(p, expected_type="Ciphertext")
+    with pytest.raises(DeserializationError):
+        safe_load(p, expected_type="ServerKey")
+    with pytest.raises(DeserializationError):
+        safe_load(p, expected_type="Ciphertext",
+                  conformance=lambda c: c.message_modulus == 999)
+
+
+def test_gadget_ciphertext_serialization(tmp_path):
+    from tfhe_tpu.gadget import Encoding
+    from tfhe_tpu.gadget.engine import Ciphertext
+    from tfhe_tpu.core.entities import LweCiphertext
+    enc = Encoding.new_canonical_binary(1, 5)
+    ct = Ciphertext(lwe=LweCiphertext(data=jnp.arange(5, dtype=jnp.uint64)),
+                    encoding=enc)
+    p = tmp_path / "g.npz"
+    save(ct, p)
+    ct2 = load(p)
+    assert ct2.encoding == enc
+
+
+def test_keycache(tmp_path):
+    calls = []
+
+    def gen():
+        calls.append(1)
+        from tfhe_tpu.core.entities import LweSecretKey
+        return LweSecretKey(bits=jnp.ones(4, dtype=jnp.int8))
+
+    kc = KeyCache(root=str(tmp_path / "kc"))
+    a = kc.get("TESTKEY", gen)
+    kc._mem.clear()
+    b = kc.get("TESTKEY", gen)
+    assert len(calls) == 1
+    np.testing.assert_array_equal(np.asarray(a.bits), np.asarray(b.bits))
+
+
+def test_secure_seed():
+    s1, s2 = secure_seed(), secure_seed()
+    assert 0 <= s1 < 2 ** 32 and s1 != s2 or s1 != secure_seed()
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as entry
+    entry.dryrun_multichip(8)

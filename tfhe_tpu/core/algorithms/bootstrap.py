@@ -24,8 +24,9 @@ from ..decomposition import signed_decompose
 from ..entities import GlweCiphertext, LweCiphertext, NttLweBootstrapKey
 from ..numeric import torus_dtype
 from ..params import CommonPBSParams, DecompParams
-from ..poly import (garner_to_torus, get_plan, monomial_mul, ntt_forward,
-                    ntt_inverse, pointwise_mac, required_num_primes)
+from ..poly import (garner_to_torus, get_plan, monomial_mul,
+                    ntt_forward_digits, ntt_inverse, pointwise_mac,
+                    required_num_primes)
 
 
 def external_product_num_primes(n: int, glwe_size: int, decomp: DecompParams,
@@ -47,11 +48,13 @@ def modulus_switch(x, log_q: int, polynomial_size: int):
 
 
 def external_product_accumulate(acc_data, operand_data, bsk_slice,
-                                decomp: DecompParams, log_q: int):
+                                decomp: DecompParams, log_q: int,
+                                bsk_shoup=None):
     """acc += GGSW ⊡ operand.
 
     acc_data, operand_data: [..., k+1, N] torus; bsk_slice: NTT-domain GGSW
-    [P, l*(k+1), k+1, N] (uint32).  Returns updated acc_data."""
+    [P, l*(k+1), k+1, N] uint32 (+ its Shoup twin for the division-free MAC).
+    Returns updated acc_data."""
     n = acc_data.shape[-1]
     glwe_size = acc_data.shape[-2]
     num_primes = bsk_slice.shape[0]
@@ -60,9 +63,9 @@ def external_product_accumulate(acc_data, operand_data, bsk_slice,
     digits = signed_decompose(operand_data, decomp, log_q)   # [..., k+1, N, l]
     digits = jnp.moveaxis(digits, -1, -3)                    # [..., l, k+1, N]
     digits = digits.reshape(*digits.shape[:-3], decomp.level * glwe_size, n)
-    d_hat = ntt_forward(plan, digits)                        # [..., J, P, N]
+    d_hat = ntt_forward_digits(plan, digits)                 # [..., J, P, N]
     d_hat = jnp.moveaxis(d_hat, -2, -3)                      # [..., P, J, N]
-    prod = pointwise_mac(plan, d_hat, bsk_slice.astype(jnp.uint64))  # [..., P, R, N]
+    prod = pointwise_mac(plan, d_hat, bsk_slice, bsk_shoup)  # [..., P, R, N]
     prod = jnp.moveaxis(prod, -3, -2)                        # [..., R, P, N]
     delta = garner_to_torus(plan, ntt_inverse(plan, prod), log_q)    # [..., R, N]
     return acc_data + delta
@@ -104,7 +107,10 @@ def blind_rotate(lut: GlweCiphertext, lwe: LweCiphertext,
         rotated = monomial_mul(acc, aj[..., None])          # X^{ã_j}·acc
         diff = rotated - acc
         bsk_j = jax.lax.dynamic_index_in_dim(bsk.data, j, axis=0, keepdims=False)
-        return external_product_accumulate(acc, diff, bsk_j, decomp, log_q)
+        shoup_j = (None if bsk.shoup is None else
+                   jax.lax.dynamic_index_in_dim(bsk.shoup, j, axis=0, keepdims=False))
+        return external_product_accumulate(acc, diff, bsk_j, decomp, log_q,
+                                           bsk_shoup=shoup_j)
 
     acc = jax.lax.fori_loop(0, n_in, step, acc)
     return GlweCiphertext(data=acc)

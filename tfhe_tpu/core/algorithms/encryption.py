@@ -96,10 +96,11 @@ def _glwe_mask_dot_key(mask, bits, log_q: int):
     k = bits.shape[-2]
     log_bound = log_q + np.log2(n) + np.log2(max(k, 1))
     plan = get_plan(n, required_num_primes(log_bound))
-    m_hat = ntt_forward(plan, mask)                  # [..., k, P, N]
-    s_hat = ntt_forward(plan, bits.astype(jnp.int8))  # [k, P, N]
-    prod = (m_hat * s_hat) % plan.p_arr
-    acc = prod.sum(axis=-3) % plan.p_arr             # sum over k: k*p^2 < 2^64 for k<=6
+    m_hat = ntt_forward(plan, mask)                   # [..., k, P, N] u64 < p
+    s_hat = ntt_forward(plan, bits.astype(jnp.int8))  # [k, P, N] u64 < p
+    p64 = jnp.asarray(plan.p64)
+    prod = (m_hat * s_hat) % p64
+    acc = prod.sum(axis=-3) % p64                     # k*p^2 < 2^64 for k<=6
     from ..poly import garner_to_torus, ntt_inverse
     return garner_to_torus(plan, ntt_inverse(plan, acc), log_q)
 
@@ -144,24 +145,30 @@ def encrypt_constant_ggsw(key, sk: GlweSecretKey, msg, decomp: DecompParams,
     dt = torus_dtype(log_q)
     k, n = sk.glwe_dimension, sk.polynomial_size
     levels = decomp.level
-    zeros = jnp.zeros((levels, k + 1, n), dtype=dt)
     keys = rng.split(key, levels * (k + 1))
 
-    def enc_zero(subkey):
-        return encrypt_glwe(subkey, sk, jnp.zeros((n,), dtype=dt), noise_std, log_q).data
-
-    rows = jax.vmap(enc_zero)(keys).reshape(levels, k + 1, k + 1, n)
+    # Body-encoded gadget rows (reference encrypt_constant_ggsw_ciphertext):
+    # row (l, r<k) encrypts the plaintext poly -m*g_l*s_r; the last row
+    # encrypts the constant m*g_l.  Equivalent phase to adding +m*g_l on the
+    # mask diagonal, but keeps all message content in the bodies — which is
+    # what makes the Seeded* compressed twins possible (seeded.py).
     m = jnp.asarray(msg).astype(jnp.int64)
     lvl_factors = jnp.stack(
         [(m.astype(dt) * (dt(1) << dt(log_q - decomp.base_log * (l + 1))))
          for l in range(levels)])                        # [levels]
-    # gadget matrix: +m*g_l at diagonal position r of the row-(l, r) GLWE —
-    # for mask rows this encrypts -m*s_r*g_l via the phase relation.
-    add = jnp.broadcast_to(lvl_factors[:, None], (levels, k + 1))   # [levels, k+1]
-    diag = jnp.zeros((levels, k + 1, k + 1, n), dtype=dt)
-    r_idx = jnp.arange(k + 1)
-    diag = diag.at[:, r_idx, r_idx, 0].add(add)
-    return GgswCiphertext(data=rows + diag, decomp=decomp)
+    s_bits = sk.bits.astype(jnp.int64)                   # [k, N]
+    pts = jnp.zeros((levels, k + 1, n), dtype=dt)
+    neg_ms = (-(lvl_factors[:, None, None].astype(jnp.uint64).astype(jnp.int64)
+                * s_bits[None, :, :])).astype(dt)        # [levels, k, N]
+    pts = pts.at[:, :k, :].set(neg_ms)
+    pts = pts.at[:, k, 0].set(lvl_factors)
+
+    def enc(subkey, pt):
+        return encrypt_glwe(subkey, sk, pt, noise_std, log_q).data
+
+    rows = jax.vmap(enc)(keys, pts.reshape(levels * (k + 1), n))
+    return GgswCiphertext(data=rows.reshape(levels, k + 1, k + 1, n),
+                          decomp=decomp)
 
 
 def generate_bootstrap_key(key, lwe_sk: LweSecretKey, glwe_sk: GlweSecretKey,
@@ -188,13 +195,16 @@ def bootstrap_key_to_ntt(bsk: LweBootstrapKey, log_q: int,
     par_convert_standard_lwe_bootstrap_key_to_fourier).
 
     Output layout [n, P, l*(k+1), k+1, N] uint32 — contraction axis (level,
-    input-component) flattened, ready for the external-product MAC."""
+    input-component) flattened, ready for the external-product MAC — plus
+    the Shoup-quotient twin for division-free MACs."""
     n_in, levels, glwe_size, _, n = bsk.data.shape
     plan = get_plan(n, num_primes)
     hat = ntt_forward(plan, bsk.data)        # [n, l, k+1(row), k+1(comp), P, N]
     hat = jnp.moveaxis(hat, -2, 1)           # [n, P, l, row, comp, N]
     hat = hat.reshape(n_in, plan.num_primes, levels * glwe_size, glwe_size, n)
-    return NttLweBootstrapKey(data=hat.astype(jnp.uint32), decomp=bsk.decomp, log_q=log_q)
+    p64 = jnp.asarray(plan.p64[:, None, None, :])    # [P,1,1,1]
+    sh = (hat << jnp.uint64(32)) // p64              # keygen-time division: cold
+    return NttLweBootstrapKey(data=hat, shoup=sh, decomp=bsk.decomp, log_q=log_q)
 
 
 # ---------------------------------------------------------------------------

@@ -163,11 +163,15 @@ class NttLweBootstrapKey:
     the analogue of the reference's `FourierLweBootstrapKey`
     (fft_impl/fft64/crypto/bootstrap.rs:27), computed once at keygen.
 
-    data[n, P, l*(k+1), k+1, N] uint32: P CRT primes, contraction axis
-    l*(k+1) flattened to feed the external-product MAC directly.
+    data[n, P, l*(k+1), k+1, N] uint64 (values < p): P CRT primes,
+    contraction axis l*(k+1) flattened to feed the external-product MAC
+    directly.  `shoup` holds the per-entry precomputed quotients
+    floor(val*2^32/p) for division-free modular multiplication in the MAC
+    (poly/ntt.py; uint64 because uint32 lowering is slow on this backend).
     """
 
     data: Any
+    shoup: Any = None
     decomp: DecompParams = _static(default=None)
     log_q: int = _static(default=64)
 

@@ -322,6 +322,9 @@ TEST_PARAMS_BOOLEAN = BooleanParameters(
     encryption_key_choice=EncryptionKeyChoice.SMALL,
 )
 
+# ks decomp is deliberately fine (32 bits): the packing-keyswitch →
+# GLWE-tensor-product path (lwe_mult/WoP-PBS) amplifies phase-coefficient
+# noise by ~2^(34+log2 N), so the packed GLWE needs ≲2^38 keyswitch noise.
 TEST_PARAMS_GADGET = GadgetParameters(
     name="TEST_PARAMS_GADGET",
     lwe_dimension=16,
@@ -331,6 +334,6 @@ TEST_PARAMS_GADGET = GadgetParameters(
     glwe_modular_std_dev=3.0e-16,
     pbs_base_log=23,
     pbs_level=1,
-    ks_base_log=3,
-    ks_level=5,
+    ks_base_log=4,
+    ks_level=8,
 )

@@ -12,11 +12,13 @@ import jax.numpy as jnp
 
 from . import ntt
 from .ntt import (NttPlan, garner_to_torus, get_plan, negacyclic_polymul,
-                  ntt_forward, ntt_inverse, pointwise_mac, required_num_primes)
+                  ntt_forward, ntt_forward_digits, ntt_inverse, pointwise_mac,
+                  pointwise_mul, required_num_primes)
 
 __all__ = [
     "ntt", "NttPlan", "get_plan", "negacyclic_polymul", "ntt_forward",
-    "ntt_inverse", "pointwise_mac", "garner_to_torus", "required_num_primes",
+    "ntt_forward_digits", "ntt_inverse", "pointwise_mac", "pointwise_mul",
+    "garner_to_torus", "required_num_primes",
     "monomial_mul", "polynomial_list_monomial_mul",
 ]
 

@@ -3,33 +3,38 @@ transforms.
 
 TPU-native replacement for the reference's f64 twisted FFT
 (tfhe/src/core_crypto/fft_impl/fft64/math/fft/mod.rs): this TPU has no
-float64 and no FFT lowering, but 64-bit integer arithmetic is available
-(emulated over 32-bit pairs by XLA).  We therefore compute negacyclic
-convolutions *exactly* over a residue number system of 31-bit NTT-friendly
-primes and reconstruct mod 2^64 with Garner's algorithm.  Exactness means
-this backend introduces **zero** FFT noise (strictly better than the
-reference's f64 pipeline, whose rounding error is part of its noise budget).
+float64 and no FFT lowering, but 64-bit integer multiply/add are fast
+(XLA emulates them over 32-bit pairs).  Integer *division*, however, is
+~200x slower than multiply — so the hot path never divides: every modular
+multiplication uses Shoup's precomputed-quotient trick
+
+    q = mulhi_32(a, w_shoup);  r = a*w - q*p  ∈ [0, 2p);  condsub p
+
+with per-twiddle (and per-BSK-entry) precomputed w_shoup = floor(w*2^32/p),
+and modular additions use compare-and-subtract.  Spectra are uint64
+(values < 2^32): uint32 lowering is pathologically slow on this backend.
+
+We compute negacyclic convolutions *exactly* over a residue number system of
+31-bit primes and reconstruct mod 2^64 with Garner's algorithm, so unlike
+the reference's f64 pipeline this backend adds **zero** rounding noise.
 
 Structure per prime p (p ≡ 1 mod 2N):
-  twist by psi^j  →  Gentleman-Sande (DIF) NTT, natural→scrambled order
-  →  pointwise MAC  →  Cooley-Tukey (DIT) inverse, scrambled→natural
-  →  untwist by psi^{-j}/N  →  Garner CRT →  signed lift mod 2^q.
+  twist by psi^j → Gentleman-Sande (DIF) NTT, natural→scrambled
+  → pointwise MAC → Cooley-Tukey (DIT) inverse, scrambled→natural
+  → untwist by psi^{-j}/N → Garner CRT → signed lift mod 2^q.
 
 No bit-reversal permutations are needed because products are taken between
-identically-scrambled spectra.
-
-All tables are precomputed in numpy (host, python ints) once per
-(N, primes) plan and closed over by the jitted callers.
+identically-scrambled spectra.  All tables are precomputed in numpy (python
+ints) once per (N, primes) plan and closed over by the jitted callers.
 """
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np
 
-# 31-bit primes with p ≡ 1 (mod 2^24): support negacyclic NTT up to N = 2^23.
+# 31-bit primes with p ≡ 1 (mod 2^24): negacyclic NTT up to N = 2^23.
 PRIMES_31 = (
     2013265921,  # 15 * 2^27 + 1
     2130706433,  # 127 * 2^24 + 1
@@ -38,17 +43,18 @@ PRIMES_31 = (
     469762049,   # 7 * 2^26 + 1
 )
 
+_U32 = jnp.uint32
+_U64 = jnp.uint64
+
 
 def _pow_mod(b: int, e: int, p: int) -> int:
     return pow(b, e, p)
 
 
 def _primitive_root(p: int) -> int:
-    """Smallest generator of Z_p^* (p-1 factors are tiny for our primes)."""
     n = p - 1
     factors = set()
-    m = n
-    d = 2
+    m, d = n, 2
     while d * d <= m:
         while m % d == 0:
             factors.add(d)
@@ -64,8 +70,7 @@ def _primitive_root(p: int) -> int:
 
 
 def required_num_primes(log_bound: float) -> int:
-    """Number of CRT primes so that the product exceeds 2^(log_bound+1)
-    (signed convolution values of magnitude < 2^log_bound)."""
+    """Primes so the CRT modulus exceeds 2^(log_bound+1) (signed values)."""
     acc = 0.0
     for i, p in enumerate(PRIMES_31):
         acc += np.log2(p)
@@ -74,8 +79,20 @@ def required_num_primes(log_bound: float) -> int:
     raise ValueError(f"convolution bound 2^{log_bound} too large for prime pool")
 
 
+def shoup(w: int, p: int) -> int:
+    return (w << 32) // p
+
+
+def _table(vals_per_prime):
+    """[P, ...] uint64 array + its Shoup twin (u64 throughout: uint32 ops are
+    ~200x slower than uint64 on this TPU backend)."""
+    raw = np.array([[v for v, _ in row] for row in vals_per_prime], dtype=np.uint64)
+    sh = np.array([[s for _, s in row] for row in vals_per_prime], dtype=np.uint64)
+    return raw, sh
+
+
 class NttPlan:
-    """Precomputed tables for negacyclic NTT of size N over `num_primes` CRT primes."""
+    """Precomputed tables for negacyclic NTT of size N over CRT primes."""
 
     def __init__(self, n: int, num_primes: int):
         assert n & (n - 1) == 0, "N must be a power of two"
@@ -94,43 +111,40 @@ class NttPlan:
             w = (psi * psi) % p
             w_inv = _pow_mod(w, p - 2, p)
             n_inv = _pow_mod(n, p - 2, p)
-            twists.append([_pow_mod(psi, j, p) for j in range(n)])
-            untwists.append([(_pow_mod(psi_inv, j, p) * n_inv) % p for j in range(n)])
-            # forward DIF: block size m = N, N/2, ..., 2 ; root of order m
+            twists.append([(t := _pow_mod(psi, j, p), shoup(t, p)) for j in range(n)])
+            untwists.append([
+                (u := (_pow_mod(psi_inv, j, p) * n_inv) % p, shoup(u, p))
+                for j in range(n)])
             m = n
             for s in range(self.log_n):
                 wm = _pow_mod(w, n // m, p)
-                fwd_stages[s].append([_pow_mod(wm, j, p) for j in range(m // 2)])
+                fwd_stages[s].append([
+                    (t := _pow_mod(wm, j, p), shoup(t, p)) for j in range(m // 2)])
                 m //= 2
-            # inverse DIT: block size m = 2, 4, ..., N
             m = 2
             for s in range(self.log_n):
                 wm_inv = _pow_mod(w_inv, n // m, p)
-                inv_stages[s].append([_pow_mod(wm_inv, j, p) for j in range(m // 2)])
+                inv_stages[s].append([
+                    (t := _pow_mod(wm_inv, j, p), shoup(t, p)) for j in range(m // 2)])
                 m *= 2
 
-        u64 = np.uint64
-        self.p_arr = np.array(self.primes, dtype=u64).reshape(num_primes, 1)
-        self.twist = np.array(twists, dtype=u64)       # [P, N]
-        self.untwist = np.array(untwists, dtype=u64)   # [P, N]
-        self.fwd_w = [np.array(t, dtype=u64) for t in fwd_stages]   # [P, m/2] per stage
-        self.inv_w = [np.array(t, dtype=u64) for t in inv_stages]
+        self.p64 = np.array(self.primes, dtype=np.uint64).reshape(num_primes, 1)
+        self.twist = _table(twists)          # ([P,N], [P,N])
+        self.untwist = _table(untwists)
+        self.fwd_w = [_table(t) for t in fwd_stages]
+        self.inv_w = [_table(t) for t in inv_stages]
 
-        # Garner constants.  c_i = inv(prod_{j<i} p_j, p_i); digit weights
-        # mod p_i for evaluating partial mixed-radix sums; prefix products
-        # mod 2^64 for final recombination; mixed-radix digits of M/2 for the
-        # signed lift.
+        # Garner constants (python ints; consumed as scalars)
         P = list(self.primes)
         self.garner_inv = []
-        self.garner_weights = []  # weights[i][j] = (p_0*...*p_{j-1}) mod p_i
+        self.garner_weights = []
         for i in range(num_primes):
             prod = 1
             for j in range(i):
-                prod = (prod * P[j])
+                prod *= P[j]
             self.garner_inv.append(_pow_mod(prod % P[i], P[i] - 2, P[i]) if i else 1)
-            self.garner_weights.append(
-                [int(np.prod([1] + P[:j], dtype=object)) % P[i] for j in range(i)]
-            )
+            self.garner_weights.append([
+                int(np.prod([1] + P[:j], dtype=object)) % P[i] for j in range(i)])
         M = 1
         for p in P:
             M *= p
@@ -139,7 +153,7 @@ class NttPlan:
         for p in P:
             half_digits.append(h % p)
             h //= p
-        self.half_digits = half_digits          # mixed-radix digits of M/2
+        self.half_digits = half_digits
         self.prefix_mod = [int(np.prod([1] + P[:j], dtype=object)) & ((1 << 64) - 1)
                            for j in range(num_primes)]
         self.M_mod = M & ((1 << 64) - 1)
@@ -150,115 +164,177 @@ def get_plan(n: int, num_primes: int) -> NttPlan:
     return NttPlan(n, num_primes)
 
 
-def _mod(x, p):
-    return x % p
+# ---------------------------------------------------------------------------
+# division-free modular primitives (uint64 arrays holding values < 2^32)
+# ---------------------------------------------------------------------------
 
 
-def ntt_forward(plan: NttPlan, x) -> jnp.ndarray:
-    """x: integer array [..., N] (int64 signed digits or uint64 torus values,
-    interpreted as signed representatives) → spectra [..., P, N] uint64 < p."""
-    n, P = plan.n, plan.num_primes
-    s = x.astype(jnp.int64)[..., None, :]                  # [..., 1, N]
-    p_arr = jnp.asarray(plan.p_arr.astype(np.int64))       # [P, 1]
-    v = (s % p_arr).astype(jnp.uint64)                     # [..., P, N] in [0, p)
-    v = _mod(v * jnp.asarray(plan.twist), plan.p_arr)
+def mulmod_shoup(a, w, w_shoup, p64):
+    """a*w mod p with precomputed w_shoup = floor(w*2^32/p); w < p, a < 2^32.
+    One u64 mulhi + one u64 mullo, a compare-subtract — no division.
+    All operands uint64 (values < 2^32)."""
+    q = (a * w_shoup) >> _U64(32)
+    r = a * w - q * p64
+    return jnp.where(r >= p64, r - p64, r)
+
+
+def addmod(a, b, p64):
+    s = a + b
+    return jnp.where(s >= p64, s - p64, s)
+
+
+def submod(a, b, p64):
+    return jnp.where(a >= b, a - b, a + p64 - b)
+
+
+def mulmod_shoup_scalar(a, w: int, p: int):
+    """Scalar-constant modular multiply (for Garner constants); a is u64."""
+    ws = _U64(shoup(w, p))
+    q = (a * ws) >> _U64(32)
+    r = a * _U64(w) - q * _U64(p)
+    p64 = _U64(p)
+    return jnp.where(r >= p64, r - p64, r)
+
+
+# ---------------------------------------------------------------------------
+# transforms — spectra are uint64 [..., P, N], values < p
+# ---------------------------------------------------------------------------
+
+
+def _reduce_small_signed(x, plan):
+    """int digits with |x| < p → residues [..., P, N] u64 (no division)."""
+    s = jnp.asarray(x).astype(jnp.int64)[..., None, :]          # [..., 1, N]
+    p_i64 = plan.p64.astype(np.int64)                           # [P, 1]
+    r = jnp.where(s < 0, s + p_i64, s)
+    return r.astype(_U64)
+
+
+def _reduce_torus(x, plan):
+    """uint torus values → residues (uses %, cold paths only)."""
+    s = jnp.asarray(x).astype(jnp.int64)[..., None, :]
+    r = s % plan.p64.astype(np.int64)
+    return r.astype(_U64)
+
+
+def _dif_forward(plan, v):
+    """u32 residues [..., P, N] (natural) → scrambled spectra, with twist."""
+    n = plan.n
+    p64 = jnp.asarray(plan.p64)
+    tw, tw_s = plan.twist
+    v = mulmod_shoup(v, jnp.asarray(tw), jnp.asarray(tw_s), p64)
     m = n
     for st in range(plan.log_n):
         half = m // 2
         shape = v.shape[:-1] + (n // m, m)
         v = v.reshape(shape)
         lo, hi = v[..., :half], v[..., half:]
-        w = jnp.asarray(plan.fwd_w[st])[:, None, :]        # [P, 1, half]
-        p_b = plan.p_arr[:, None, :]                       # broadcast [P,1,1]
-        new_lo = _mod(lo + hi, p_b)
-        new_hi = _mod((lo + p_b - hi) * w, p_b)
-        v = jnp.concatenate([new_lo, new_hi], axis=-1)
-        v = v.reshape(v.shape[:-2] + (n,))
+        w, ws = plan.fwd_w[st]
+        wj = jnp.asarray(w)[:, None, :]
+        wjs = jnp.asarray(ws)[:, None, :]
+        p_b = p64[:, None, :]
+        new_lo = addmod(lo, hi, p_b)
+        new_hi = mulmod_shoup(submod(lo, hi, p_b), wj, wjs, p_b)
+        v = jnp.concatenate([new_lo, new_hi], axis=-1).reshape(v.shape[:-2] + (n,))
         m //= 2
     return v
 
 
-def ntt_forward_u32(plan: NttPlan, x) -> jnp.ndarray:
-    """Forward transform packed to uint32 (for key storage)."""
-    return ntt_forward(plan, x).astype(jnp.uint32)
+def ntt_forward_digits(plan: NttPlan, digits) -> jnp.ndarray:
+    """Signed small digits [..., N] → spectra [..., P, N] u64 < p.  Hot path."""
+    return _dif_forward(plan, _reduce_small_signed(digits, plan))
 
 
-def pointwise_mac(plan: NttPlan, a_hat, b_hat) -> jnp.ndarray:
-    """a_hat [..., P, J, N] × b_hat [..., P, J, R, N] → [..., P, R, N]:
-    sum over the contraction axis J of the pointwise products, all mod p."""
-    p_b = plan.p_arr[:, None, None, :]                     # [P,1,1,1]
-    prod = _mod(a_hat[..., :, :, None, :].astype(jnp.uint64)
-                * b_hat.astype(jnp.uint64), p_b)           # [..., P, J, R, N]
-    return prod.sum(axis=-3) % plan.p_arr[:, None, :]      # J ≤ ~2^33/p sums: safe
+def ntt_forward(plan: NttPlan, x) -> jnp.ndarray:
+    """General integer input (torus values as signed reps) → spectra u64 < p."""
+    return _dif_forward(plan, _reduce_torus(x, plan))
 
 
 def ntt_inverse(plan: NttPlan, v) -> jnp.ndarray:
-    """Spectra [..., P, N] (uint64 < p) → coefficient residues [..., P, N]."""
+    """Scrambled spectra [..., P, N] u64 → coefficient residues u64 < p."""
     n = plan.n
+    p64 = jnp.asarray(plan.p64)
     m = 2
     for st in range(plan.log_n):
         half = m // 2
         shape = v.shape[:-1] + (n // m, m)
         v = v.reshape(shape)
         lo, hi = v[..., :half], v[..., half:]
-        w = jnp.asarray(plan.inv_w[st])[:, None, :]
-        p_b = plan.p_arr[:, None, :]
-        hi = _mod(hi * w, p_b)
-        new_lo = _mod(lo + hi, p_b)
-        new_hi = _mod(lo + p_b - hi, p_b)
-        v = jnp.concatenate([new_lo, new_hi], axis=-1)
-        v = v.reshape(v.shape[:-2] + (n,))
+        w, ws = plan.inv_w[st]
+        p_b = p64[:, None, :]
+        hi = mulmod_shoup(hi, jnp.asarray(w)[:, None, :],
+                          jnp.asarray(ws)[:, None, :], p_b)
+        new_lo = addmod(lo, hi, p_b)
+        new_hi = submod(lo, hi, p_b)
+        v = jnp.concatenate([new_lo, new_hi], axis=-1).reshape(v.shape[:-2] + (n,))
         m *= 2
-    return _mod(v * jnp.asarray(plan.untwist), plan.p_arr)
+    ut, ut_s = plan.untwist
+    return mulmod_shoup(v, jnp.asarray(ut), jnp.asarray(ut_s), p64)
+
+
+def pointwise_mac(plan: NttPlan, a_hat, b_hat, b_shoup=None) -> jnp.ndarray:
+    """Σ_J a_hat[..., P, J, N] * b_hat[..., P, J, R, N] mod p → [..., P, R, N].
+
+    With b_shoup (precomputed for key material) the product is division-free;
+    without, falls back to u64 mul + %."""
+    if b_shoup is not None:
+        p_b = jnp.asarray(plan.p64)[:, None, None, :]
+        a = a_hat[..., :, :, None, :]
+        prod = mulmod_shoup(a, b_hat, b_shoup, p_b)
+        acc = prod[..., 0, :, :]
+        for j in range(1, prod.shape[-3]):
+            acc = addmod(acc, prod[..., j, :, :], jnp.asarray(plan.p64)[:, None, :])
+        return acc
+    p64 = jnp.asarray(plan.p64)[:, None, None, :]
+    prod = (a_hat[..., :, :, None, :] * b_hat) % p64
+    return prod.sum(axis=-3) % jnp.asarray(plan.p64)[:, None, :]
+
+
+def pointwise_mul(plan: NttPlan, a_hat, b_hat) -> jnp.ndarray:
+    """Elementwise spectra product mod p (cold paths)."""
+    p64 = jnp.asarray(plan.p64)
+    return (a_hat * b_hat) % p64
 
 
 def garner_to_torus(plan: NttPlan, res, log_q: int) -> jnp.ndarray:
-    """CRT residues [..., P, N] → signed-lifted value mod 2^log_q, [..., N].
-
-    Mixed-radix (Garner) digits t_i are computed mod p_i; the true integer is
-    c = t_0 + p_0 t_1 + p_0 p_1 t_2 + ... (0 ≤ c < M), lifted to signed via
-    comparison with M/2, then reduced mod 2^log_q with wrapping arithmetic.
-    """
+    """CRT residues [..., P, N] u32 → signed-lifted value mod 2^log_q [..., N].
+    Division-free: all Garner constants use scalar Shoup multiplies."""
     P = plan.num_primes
     v = [res[..., i, :] for i in range(P)]
     t = [v[0]]
     for i in range(1, P):
-        pi = jnp.uint64(plan.primes[i])
+        pi = plan.primes[i]
+        p64 = _U64(pi)
         acc = jnp.zeros_like(v[i])
         for j in range(i):
-            acc = (acc + t[j] * jnp.uint64(plan.garner_weights[i][j])) % pi
-        diff = (v[i] + pi - acc % pi) % pi
-        t.append((diff * jnp.uint64(plan.garner_inv[i])) % pi)
-    # recombine mod 2^64 (wrapping)
-    c = jnp.zeros_like(t[0])
+            acc = addmod(acc, mulmod_shoup_scalar(t[j], plan.garner_weights[i][j], pi), p64)
+        diff = submod(v[i], acc, p64)
+        t.append(mulmod_shoup_scalar(diff, plan.garner_inv[i], pi))
+    c = jnp.zeros(t[0].shape, dtype=_U64)
     for i in range(P):
-        c = c + t[i] * jnp.uint64(plan.prefix_mod[i])
-    # signed lift: subtract M where c_mixed_radix >= M/2 (lexicographic compare
-    # of mixed-radix digits, most significant first)
+        c = c + t[i] * _U64(plan.prefix_mod[i])
     ge = jnp.zeros(t[0].shape, dtype=bool)
     eq = jnp.ones(t[0].shape, dtype=bool)
     for i in reversed(range(P)):
-        h = jnp.uint64(plan.half_digits[i])
+        h = _U64(plan.half_digits[i])
         ge = ge | (eq & (t[i] > h))
         eq = eq & (t[i] == h)
-    c = jnp.where(ge | eq, c - jnp.uint64(plan.M_mod), c)
+    c = jnp.where(ge | eq, c - _U64(plan.M_mod), c)
     if log_q == 64:
         return c
-    return c.astype(jnp.uint32) if log_q == 32 else c % (jnp.uint64(1) << jnp.uint64(log_q))
+    if log_q == 32:
+        return c.astype(_U32)
+    return c & _U64((1 << log_q) - 1)
 
 
 def negacyclic_polymul(a, b, log_q: int, log_bound: float | None = None) -> jnp.ndarray:
-    """General exact negacyclic product of integer polynomials mod 2^log_q.
-
-    a, b: [..., N] arrays (broadcastable batch dims); values interpreted as
-    signed representatives.  Replaces the reference's
-    `polynomial_karatsuba_wrapping_mul` (algorithms/polynomial_algorithms.rs:683).
-    """
-    n = a.shape[-1]
+    """General exact negacyclic product of integer polynomials mod 2^log_q
+    (replaces reference `polynomial_karatsuba_wrapping_mul`,
+    algorithms/polynomial_algorithms.rs:683).  a, b: [..., N] broadcastable."""
+    n = a.shape[-1] if a.ndim else b.shape[-1]
     if log_bound is None:
-        log_bound = 2 * 63 + np.log2(n)
+        log_bound = 2 * 64 + np.log2(n)
     plan = get_plan(n, required_num_primes(log_bound))
     a_hat = ntt_forward(plan, a)
     b_hat = ntt_forward(plan, b)
-    prod = _mod(a_hat * b_hat, plan.p_arr)
-    return garner_to_torus(plan, ntt_inverse(plan, prod), log_q)
+    return garner_to_torus(plan, ntt_inverse(plan, pointwise_mul(plan, a_hat, b_hat)),
+                           log_q)

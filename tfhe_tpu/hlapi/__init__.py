@@ -1,0 +1,290 @@
+"""High-level API: FheUint/FheInt/FheBool with operator overloading.
+
+Re-design of the reference HLAPI (tfhe/src/high_level_api/, design doc
+high_level_api/design.md): `ConfigBuilder` → `generate_keys` → typed
+encrypted integers whose Python operators dispatch to the radix server key.
+Like the reference's thread-local `set_server_key` global
+(high_level_api/global_state.rs:13-15,62), the server key is installed into
+module state once and every overloaded operator uses it.
+
+Batched: every Fhe type holds a batch of values ([...] leading axes).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import integer, shortint
+from ..core.params import shortint_params
+
+__all__ = ["ConfigBuilder", "Config", "ClientKey", "ServerKey", "PublicKey",
+           "generate_keys", "set_server_key", "unset_server_key",
+           "FheBool", "FheUint2", "FheUint4", "FheUint8", "FheUint16",
+           "FheUint32", "FheUint64", "FheUint128", "FheUint256",
+           "FheInt8", "FheInt16", "FheInt32", "FheInt64"]
+
+_SERVER_KEY: Optional[integer.ServerKey] = None
+
+
+def set_server_key(sk: "ServerKey"):
+    global _SERVER_KEY
+    _SERVER_KEY = sk.radix
+
+
+def unset_server_key():
+    global _SERVER_KEY
+    _SERVER_KEY = None
+
+
+def _sk() -> integer.ServerKey:
+    if _SERVER_KEY is None:
+        raise RuntimeError("no server key set — call set_server_key(server_key)")
+    return _SERVER_KEY
+
+
+@dataclass(frozen=True)
+class Config:
+    params_name: str = "PARAM_MESSAGE_2_CARRY_2_KS_PBS"
+
+
+class ConfigBuilder:
+    """reference high_level_api/config.rs."""
+
+    def __init__(self):
+        self._params = "PARAM_MESSAGE_2_CARRY_2_KS_PBS"
+
+    def use_custom_parameters(self, name: str) -> "ConfigBuilder":
+        self._params = name
+        return self
+
+    def build(self) -> Config:
+        return Config(params_name=self._params)
+
+    @staticmethod
+    def default() -> Config:
+        return ConfigBuilder().build()
+
+
+class ClientKey:
+    def __init__(self, shortint_ck: shortint.ClientKey):
+        self.shortint_ck = shortint_ck
+
+    def radix(self, num_blocks: int) -> integer.RadixClientKey:
+        return integer.RadixClientKey(key=self.shortint_ck, num_blocks=num_blocks)
+
+
+class ServerKey:
+    def __init__(self, radix: integer.ServerKey):
+        self.radix = radix
+
+
+class PublicKey:
+    """Encryption-only key material.  Until dedicated LWE public keys land,
+    this wraps the client key's encryption capability (API-compatible
+    placeholder for reference `PublicKey`)."""
+
+    def __init__(self, client_key: ClientKey):
+        self._ck = client_key
+
+
+def generate_keys(config: Config = None, seed: int = 0):
+    """→ (ClientKey, ServerKey) — reference tfhe::generate_keys."""
+    config = config or ConfigBuilder.default()
+    ck, sk = shortint.gen_keys(shortint_params(config.params_name), seed=seed)
+    return ClientKey(ck), ServerKey(integer.ServerKey(key=sk))
+
+
+class _FheUintBase:
+    """GenericInteger<P> analogue (high_level_api/integers/types/base.rs)."""
+
+    NUM_BITS: int = 8
+    SIGNED: bool = False
+
+    def __init__(self, ct: integer.RadixCiphertext):
+        self.ct = ct
+
+    # -- encryption ----------------------------------------------------
+
+    @classmethod
+    def num_blocks(cls, ck: ClientKey) -> int:
+        bits = int(math.log2(ck.shortint_ck.params.message_modulus))
+        return cls.NUM_BITS // bits
+
+    @classmethod
+    def encrypt(cls, values, ck: ClientKey, seed: int = 0):
+        rck = ck.radix(cls.num_blocks(ck))
+        if cls.SIGNED:
+            return cls(rck.encrypt_signed(values, seed=seed))
+        return cls(rck.encrypt(values, seed=seed))
+
+    @classmethod
+    def encrypt_trivial(cls, values, ck: ClientKey):
+        rck = ck.radix(cls.num_blocks(ck))
+        return cls(rck.trivial_encrypt(values))
+
+    def decrypt(self, ck: ClientKey):
+        rck = ck.radix(self.ct.num_blocks)
+        if self.SIGNED:
+            return rck.decrypt_signed(
+                integer.SignedRadixCiphertext(blocks=self.ct.blocks))
+        return rck.decrypt(self.ct)
+
+    # -- operators -----------------------------------------------------
+
+    def _wrap(self, ct):
+        return type(self)(ct)
+
+    def __add__(self, other):
+        if isinstance(other, _FheUintBase):
+            return self._wrap(_sk().add(self.ct, other.ct))
+        return self._wrap(_sk().scalar_add(self.ct, int(other)))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        if isinstance(other, _FheUintBase):
+            return self._wrap(_sk().sub(self.ct, other.ct))
+        return self._wrap(_sk().scalar_sub(self.ct, int(other)))
+
+    def __mul__(self, other):
+        if isinstance(other, _FheUintBase):
+            return self._wrap(_sk().mul(self.ct, other.ct))
+        return self._wrap(_sk().scalar_mul(self.ct, int(other)))
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return self._wrap(_sk().neg(self.ct))
+
+    def __and__(self, other):
+        return self._wrap(_sk().bitand(self.ct, other.ct))
+
+    def __or__(self, other):
+        return self._wrap(_sk().bitor(self.ct, other.ct))
+
+    def __xor__(self, other):
+        return self._wrap(_sk().bitxor(self.ct, other.ct))
+
+    def __invert__(self):
+        return self._wrap(_sk().bitnot(self.ct))
+
+    def __lshift__(self, shift: int):
+        return self._wrap(_sk().scalar_left_shift(self.ct, int(shift)))
+
+    def __rshift__(self, shift: int):
+        return self._wrap(_sk().scalar_right_shift(self.ct, int(shift)))
+
+    # comparisons return FheBool
+    def eq(self, other):
+        if isinstance(other, _FheUintBase):
+            return FheBool(_sk().eq(self.ct, other.ct))
+        return FheBool(_sk().scalar_eq(self.ct, int(other)))
+
+    def ne(self, other):
+        return FheBool(_sk().ne(self.ct, other.ct))
+
+    def lt(self, other):
+        if isinstance(other, _FheUintBase):
+            return FheBool(_sk().lt(self.ct, other.ct))
+        return FheBool(_sk().scalar_lt(self.ct, int(other)))
+
+    def le(self, other):
+        if isinstance(other, _FheUintBase):
+            return FheBool(_sk().le(self.ct, other.ct))
+        return FheBool(_sk().scalar_le(self.ct, int(other)))
+
+    def gt(self, other):
+        if isinstance(other, _FheUintBase):
+            return FheBool(_sk().gt(self.ct, other.ct))
+        return FheBool(_sk().scalar_gt(self.ct, int(other)))
+
+    def ge(self, other):
+        if isinstance(other, _FheUintBase):
+            return FheBool(_sk().ge(self.ct, other.ct))
+        return FheBool(_sk().scalar_ge(self.ct, int(other)))
+
+    __eq__ = eq
+    __ne__ = ne
+    __lt__ = lt
+    __le__ = le
+    __gt__ = gt
+    __ge__ = ge
+    __hash__ = None
+
+    def min(self, other):
+        return self._wrap(_sk().min(self.ct, other.ct))
+
+    def max(self, other):
+        return self._wrap(_sk().max(self.ct, other.ct))
+
+    def cast_into(self, target_cls, ck_blocks_hint: int = None):
+        """Width cast (reference cast_into): resize the block list."""
+        bits_per_block = int(math.log2(self.ct.message_modulus))
+        nb = target_cls.NUM_BITS // bits_per_block
+        return target_cls(_sk().cast_to_size(self.ct, nb))
+
+
+class FheBool:
+    """reference FheBool — a 1-block 0/1 value."""
+
+    def __init__(self, block: "integer.ciphertext.BooleanBlock"):
+        self.block = block
+
+    @classmethod
+    def encrypt(cls, values, ck: ClientKey, seed: int = 0):
+        from ..integer.ciphertext import BooleanBlock
+        msgs = jnp.asarray(values).astype(jnp.uint64) % jnp.uint64(2)
+        return cls(BooleanBlock(block=ck.shortint_ck.encrypt(msgs, seed=seed)))
+
+    def decrypt(self, ck: ClientKey):
+        return np.asarray(ck.shortint_ck.decrypt(self.block.block)).astype(bool)
+
+    def select(self, then_val: _FheUintBase, else_val: _FheUintBase):
+        """reference if_then_else."""
+        return type(then_val)(_sk().cmux(self.block, then_val.ct, else_val.ct))
+
+    if_then_else = select
+
+    def __and__(self, other):
+        sk = _sk().key
+        return FheBool(type(self.block)(
+            block=sk.bitand(self.block.block, other.block.block)))
+
+    def __or__(self, other):
+        sk = _sk().key
+        return FheBool(type(self.block)(
+            block=sk.bitor(self.block.block, other.block.block)))
+
+    def __xor__(self, other):
+        sk = _sk().key
+        return FheBool(type(self.block)(
+            block=sk.bitxor(self.block.block, other.block.block)))
+
+    def __invert__(self):
+        sk = _sk().key
+        return FheBool(type(self.block)(
+            block=sk.evaluate_univariate(self.block.block, lambda x: 1 - (x % 2))))
+
+
+def _make_type(name, bits, signed=False):
+    t = type(name, (_FheUintBase,), {"NUM_BITS": bits, "SIGNED": signed})
+    t.__module__ = __name__
+    return t
+
+
+FheUint2 = _make_type("FheUint2", 2)
+FheUint4 = _make_type("FheUint4", 4)
+FheUint8 = _make_type("FheUint8", 8)
+FheUint16 = _make_type("FheUint16", 16)
+FheUint32 = _make_type("FheUint32", 32)
+FheUint64 = _make_type("FheUint64", 64)
+FheUint128 = _make_type("FheUint128", 128)
+FheUint256 = _make_type("FheUint256", 256)
+FheInt8 = _make_type("FheInt8", 8, signed=True)
+FheInt16 = _make_type("FheInt16", 16, signed=True)
+FheInt32 = _make_type("FheInt32", 32, signed=True)
+FheInt64 = _make_type("FheInt64", 64, signed=True)

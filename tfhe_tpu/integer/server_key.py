@@ -1,0 +1,596 @@
+"""Radix integer server ops.
+
+Reference: tfhe/src/integer/server_key/ (radix & radix_parallel).  The
+reference parallelizes across blocks with rayon joins; here independent
+block PBS calls are *stacked onto the batch axis* and issued as one
+bootstrap — the TPU equivalent of radix_parallel (SURVEY.md §2.9 table).
+
+Costs (b = num_blocks): add = b-step sequential carry propagation (the
+Hillis–Steele log-depth scan is a planned upgrade); mul = one batched PBS
+for all 2b² partial products + chunked accumulation; comparisons = log₂(b)
+batched tree layers.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Sequence
+
+import flax.struct as struct
+import jax.numpy as jnp
+import numpy as np
+
+from .. import shortint
+from ..core import rng
+from ..core.entities import LweCiphertext
+from ..shortint.ciphertext import Ciphertext as Block
+from ..shortint.ciphertext import NoiseLevel
+from ..shortint.client_key import delta_for
+from ..shortint.server_key import LookupTable
+from .ciphertext import BooleanBlock, CrtCiphertext, RadixCiphertext, SignedRadixCiphertext
+from .client_key import CrtClientKey, RadixClientKey
+
+# comparison fold states
+EQ, LT, GT = 0, 1, 2
+
+
+@struct.dataclass
+class ServerKey:
+    key: shortint.ServerKey
+
+    @property
+    def msg_mod(self) -> int:
+        return self.key.message_modulus
+
+    @property
+    def max_degree(self) -> int:
+        return self.key.max_degree
+
+    # ------------------------------------------------------------------
+    # batched-LUT plumbing: stack blocks into the PBS batch axis
+    # ------------------------------------------------------------------
+
+    def _apply_luts_stacked(self, blocks: List[Block],
+                            luts: List[LookupTable]) -> List[Block]:
+        """One KS+PBS for len(blocks) inputs (possibly distinct LUTs)."""
+        assert len(blocks) == len(luts)
+        data = jnp.stack([b.lwe.data for b in blocks], axis=0)   # [nb, ..., n+1]
+        inner = data.ndim - 2
+        acc = jnp.stack([l.acc.data for l in luts], axis=0)      # [nb, k+1, N]
+        acc = acc.reshape(acc.shape[:1] + (1,) * inner + acc.shape[-2:])
+        tmp = Block(lwe=LweCiphertext(data=data),
+                    degree=max(b.degree for b in blocks),
+                    message_modulus=blocks[0].message_modulus,
+                    carry_modulus=blocks[0].carry_modulus,
+                    noise_level=max(b.noise_level for b in blocks))
+        from ..core.entities import GlweCiphertext
+        out = self.key.apply_lookup_table(
+            tmp, LookupTable(acc=GlweCiphertext(data=acc), degree=0))
+        return [blocks[i].with_(
+                    lwe=LweCiphertext(data=out.lwe.data[i]),
+                    degree=luts[i].degree, noise_level=NoiseLevel.NOMINAL)
+                for i in range(len(blocks))]
+
+    def _apply_lut_same(self, blocks: List[Block], lut: LookupTable) -> List[Block]:
+        return self._apply_luts_stacked(blocks, [lut] * len(blocks))
+
+    # ------------------------------------------------------------------
+    # carry machinery
+    # ------------------------------------------------------------------
+
+    def full_propagate(self, ct: RadixCiphertext) -> RadixCiphertext:
+        """Sequential carry propagation (reference full_propagate): each step
+        extracts (message, carry) of one block with a single 2-LUT batched
+        PBS and feeds the carry forward."""
+        m = self.msg_mod
+        lut_msg = self.key.generate_lookup_table(lambda x: x % m)
+        lut_carry = self.key.generate_lookup_table(lambda x: x // m)
+        out = []
+        carry = None
+        for b in ct.blocks:
+            if carry is not None:
+                b = self.key.unchecked_add(b, carry)
+            if b.degree < m:
+                out.append(b)
+                carry = None
+                continue
+            msg, carry = self._apply_luts_stacked([b, b], [lut_msg, lut_carry])
+            carry = carry.with_(degree=min(carry.degree, b.degree // m))
+            out.append(msg)
+        return type(ct)(blocks=out)
+
+    def _maybe_propagate(self, ct: RadixCiphertext) -> RadixCiphertext:
+        if ct.block_carries_are_empty():
+            return ct
+        return self.full_propagate(ct)
+
+    # ------------------------------------------------------------------
+    # add / neg / sub
+    # ------------------------------------------------------------------
+
+    def unchecked_add(self, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertext:
+        return type(a)(blocks=[self.key.unchecked_add(x, y)
+                               for x, y in zip(a.blocks, b.blocks)])
+
+    def smart_add(self, a, b):
+        if any(x.degree + y.degree > self.max_degree
+               for x, y in zip(a.blocks, b.blocks)):
+            a, b = self._maybe_propagate(a), self._maybe_propagate(b)
+        return self.unchecked_add(a, b)
+
+    def add(self, a, b):
+        return self.full_propagate(self.smart_add(a, b))
+
+    add_parallelized = add
+
+    def unchecked_neg(self, a: RadixCiphertext) -> RadixCiphertext:
+        """Blockwise negation with correcting terms: block_i' = w_i*Δ - block_i
+        with w_i = z_i - z_{i-1}/m, z_i the smallest multiple of m above
+        degree_i (reference unchecked_neg_with_correcting_term)."""
+        m = self.msg_mod
+        delta = delta_for(self.key.params)
+        out = []
+        prev_carry = 0
+        for blk in a.blocks:
+            z = max(-(-(blk.degree + 1) // m) * m, m)
+            w = z - prev_carry
+            data = (-blk.lwe.data)
+            data = data.at[..., -1].add(jnp.uint64(w) * delta)
+            out.append(blk.with_(lwe=LweCiphertext(data=data), degree=w))
+            prev_carry = z // m
+        return type(a)(blocks=out)
+
+    def smart_neg(self, a):
+        return self.unchecked_neg(self._maybe_propagate(a))
+
+    def neg(self, a):
+        return self.full_propagate(self.smart_neg(a))
+
+    neg_parallelized = neg
+
+    def unchecked_sub(self, a, b):
+        return self.unchecked_add(a, self.unchecked_neg(b))
+
+    def smart_sub(self, a, b):
+        return self.smart_add(a, self.smart_neg(b))
+
+    def sub(self, a, b):
+        return self.full_propagate(self.smart_sub(
+            self._maybe_propagate(a), self._maybe_propagate(b)))
+
+    sub_parallelized = sub
+
+    # ------------------------------------------------------------------
+    # scalar add/sub/mul
+    # ------------------------------------------------------------------
+
+    def _scalar_blocks(self, scalar: int, nb: int) -> List[int]:
+        m = self.msg_mod
+        scalar %= m ** nb
+        return [(scalar // m ** i) % m for i in range(nb)]
+
+    def scalar_add(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
+        a = self._maybe_propagate(a)
+        sb = self._scalar_blocks(scalar, a.num_blocks)
+        blocks = [self.key.unchecked_scalar_add(x, s) if s else x
+                  for x, s in zip(a.blocks, sb)]
+        return self.full_propagate(type(a)(blocks=blocks))
+
+    scalar_add_parallelized = scalar_add
+
+    def scalar_sub(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
+        nb = a.num_blocks
+        return self.scalar_add(a, (-scalar) % (self.msg_mod ** nb))
+
+    scalar_sub_parallelized = scalar_sub
+
+    def scalar_mul(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
+        """Shift-and-add over the scalar's radix digits."""
+        nb = a.num_blocks
+        scalar %= self.msg_mod ** nb
+        if scalar == 0:
+            return self.create_trivial_zero_radix(nb, a.batch_shape)
+        a = self._maybe_propagate(a)
+        partials = []
+        for i, s in enumerate(self._scalar_blocks(scalar, nb)):
+            if s == 0:
+                continue
+            shifted = self.blockshift(a, i)
+            mul_lut = self.key.generate_lookup_table(lambda x, s=s: x * s)
+            inner = self._apply_lut_same(shifted.blocks[i:], mul_lut)
+            partials.append(type(a)(blocks=shifted.blocks[:i] + inner))
+        return self._sum_partials(partials)
+
+    scalar_mul_parallelized = scalar_mul
+
+    # ------------------------------------------------------------------
+    # multiplication
+    # ------------------------------------------------------------------
+
+    def mul(self, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertext:
+        """Schoolbook block multiplication: all lsb/msb partial products in
+        ONE batched bivariate PBS, then chunked accumulation (reference
+        radix_parallel/mul.rs:329 fan-out becomes a batch axis)."""
+        a, b = self._maybe_propagate(a), self._maybe_propagate(b)
+        nb = a.num_blocks
+        m = self.msg_mod
+        lut_lsb = self.key.generate_lookup_table(lambda x: ((x // m) * (x % m)) % m)
+        lut_msb = self.key.generate_lookup_table(lambda x: ((x // m) * (x % m)) // m)
+
+        pairs, luts, places = [], [], []
+        for j in range(nb):
+            for i in range(nb):
+                if i + j < nb:
+                    pairs.append(self.key.unchecked_bivariate_pack(a.blocks[i], b.blocks[j]))
+                    luts.append(lut_lsb)
+                    places.append(i + j)
+                if i + j + 1 < nb:
+                    pairs.append(self.key.unchecked_bivariate_pack(a.blocks[i], b.blocks[j]))
+                    luts.append(lut_msb)
+                    places.append(i + j + 1)
+        outs = self._apply_luts_stacked(pairs, luts)
+
+        # group into radix partial ciphertexts by output place
+        per_place: List[List[Block]] = [[] for _ in range(nb)]
+        for blk, pl in zip(outs, places):
+            per_place[pl].append(blk)
+        partials = []
+        depth = max(len(v) for v in per_place)
+        for d in range(depth):
+            blocks = []
+            for pl in range(nb):
+                if d < len(per_place[pl]):
+                    blocks.append(per_place[pl][d])
+                else:
+                    blocks.append(self._trivial_zero_block(a.batch_shape))
+            partials.append(type(a)(blocks=blocks))
+        return self._sum_partials(partials)
+
+    mul_parallelized = mul
+
+    def _trivial_zero_block(self, batch_shape) -> Block:
+        p = self.key.params
+        from ..core.algorithms import trivial_lwe
+        from ..core.params import EncryptionKeyChoice
+        n = (p.big_lwe_dimension
+             if p.encryption_key_choice == EncryptionKeyChoice.BIG
+             else p.lwe_dimension)
+        zeros = jnp.zeros(batch_shape, dtype=jnp.uint64)
+        return Block(lwe=trivial_lwe(zeros, n, 64), degree=0,
+                     message_modulus=p.message_modulus,
+                     carry_modulus=p.carry_modulus,
+                     noise_level=NoiseLevel.ZERO)
+
+    def create_trivial_zero_radix(self, nb: int, batch_shape=()) -> RadixCiphertext:
+        return RadixCiphertext(blocks=[self._trivial_zero_block(batch_shape)
+                                       for _ in range(nb)])
+
+    def create_trivial_radix(self, value: int, nb: int, batch_shape=()) -> RadixCiphertext:
+        m = self.msg_mod
+        delta = delta_for(self.key.params)
+        ct = self.create_trivial_zero_radix(nb, batch_shape)
+        blocks = []
+        for i, blk in enumerate(ct.blocks):
+            s = (value // m ** i) % m
+            data = blk.lwe.data.at[..., -1].add(jnp.uint64(s) * delta)
+            blocks.append(blk.with_(lwe=LweCiphertext(data=data), degree=s))
+        return RadixCiphertext(blocks=blocks)
+
+    def _sum_partials(self, partials: List[RadixCiphertext]) -> RadixCiphertext:
+        """Accumulate many radix ciphertexts, propagating only when the carry
+        space is about to fill (reference unchecked_sum_ciphertexts_vec)."""
+        if not partials:
+            raise ValueError("empty sum")
+        acc = partials[0]
+        for p in partials[1:]:
+            if any(x.degree + y.degree > self.max_degree
+                   for x, y in zip(acc.blocks, p.blocks)):
+                acc = self.full_propagate(acc)
+            acc = self.unchecked_add(acc, p)
+        return self.full_propagate(acc)
+
+    def blockshift(self, a: RadixCiphertext, shift: int) -> RadixCiphertext:
+        """Multiply by msg_mod^shift: move blocks up, zero-fill low blocks."""
+        if shift == 0:
+            return a
+        zeros = [self._trivial_zero_block(a.batch_shape) for _ in range(shift)]
+        return type(a)(blocks=zeros + a.blocks[:a.num_blocks - shift])
+
+    # ------------------------------------------------------------------
+    # bitwise
+    # ------------------------------------------------------------------
+
+    def _bitwise(self, a, b, op) -> RadixCiphertext:
+        a, b = self._maybe_propagate(a), self._maybe_propagate(b)
+        m = self.msg_mod
+        lut = self.key.generate_lookup_table(lambda x: op(x // m, x % m) % m)
+        pairs = [self.key.unchecked_bivariate_pack(x, y)
+                 for x, y in zip(a.blocks, b.blocks)]
+        return type(a)(blocks=self._apply_lut_same(pairs, lut))
+
+    def bitand(self, a, b):
+        return self._bitwise(a, b, lambda x, y: x & y)
+
+    def bitor(self, a, b):
+        return self._bitwise(a, b, lambda x, y: x | y)
+
+    def bitxor(self, a, b):
+        return self._bitwise(a, b, lambda x, y: x ^ y)
+
+    bitand_parallelized = bitand
+    bitor_parallelized = bitor
+    bitxor_parallelized = bitxor
+
+    def bitnot(self, a):
+        a = self._maybe_propagate(a)
+        m = self.msg_mod
+        lut = self.key.generate_lookup_table(lambda x: (m - 1) - (x % m))
+        return type(a)(blocks=self._apply_lut_same(a.blocks, lut))
+
+    # ------------------------------------------------------------------
+    # comparisons (lexicographic fold, reference integer/server_key/comparator.rs)
+    # ------------------------------------------------------------------
+
+    def _compare_states(self, a: RadixCiphertext, b: RadixCiphertext) -> List[Block]:
+        """Per-block state ∈ {EQ, LT, GT} via one batched bivariate PBS."""
+        m = self.msg_mod
+
+        def st(x, y):
+            return EQ if x == y else (LT if x < y else GT)
+
+        lut = self.key.generate_lookup_table(lambda x: st(x // m, x % m))
+        pairs = [self.key.unchecked_bivariate_pack(x, y)
+                 for x, y in zip(a.blocks, b.blocks)]
+        return self._apply_lut_same(pairs, lut)
+
+    def _scalar_compare_states(self, a: RadixCiphertext, scalar: int) -> List[Block]:
+        sb = self._scalar_blocks(scalar, a.num_blocks)
+
+        def mk(s):
+            return self.key.generate_lookup_table(
+                lambda x, s=s: EQ if x == s else (LT if x < s else GT))
+
+        return self._apply_luts_stacked(a.blocks, [mk(s) for s in sb])
+
+    def _fold_states(self, states: List[Block]) -> Block:
+        """Tree-fold: combined = hi if hi != EQ else lo; log₂(b) batched layers."""
+        combine = self.key.generate_lookup_table(
+            lambda x: (x // 4) if (x // 4) != EQ else (x % 4))
+        while len(states) > 1:
+            pairs, passthrough = [], []
+            it = list(states)
+            new_order = []
+            for i in range(0, len(it) - 1, 2):
+                lo, hi = it[i], it[i + 1]
+                packed = hi.with_(
+                    lwe=LweCiphertext(data=hi.lwe.data * jnp.uint64(4) + lo.lwe.data),
+                    degree=hi.degree * 4 + lo.degree,
+                    noise_level=hi.noise_level * 4 + lo.noise_level)
+                pairs.append(packed)
+            if len(it) % 2:
+                passthrough = [it[-1]]
+            states = self._apply_lut_same(pairs, combine) + passthrough
+            if passthrough and len(states) > 1:
+                # odd leftover is the most significant: keep it last
+                pass
+        return states[0]
+
+    def _state_to_bool(self, state: Block, accept) -> BooleanBlock:
+        lut = self.key.generate_lookup_table(lambda x: int(x in accept))
+        return BooleanBlock(block=self.key.apply_lookup_table(state, lut))
+
+    def _cmp(self, a, b, accept) -> BooleanBlock:
+        a, b = self._maybe_propagate(a), self._maybe_propagate(b)
+        states = self._compare_states(a, b)
+        return self._state_to_bool(self._fold_states(states), accept)
+
+    def eq(self, a, b):
+        """Faster path: per-block equality bits, sum, compare to block count."""
+        a, b = self._maybe_propagate(a), self._maybe_propagate(b)
+        m = self.msg_mod
+        lut = self.key.generate_lookup_table(lambda x: int((x // m) == (x % m)))
+        pairs = [self.key.unchecked_bivariate_pack(x, y)
+                 for x, y in zip(a.blocks, b.blocks)]
+        bits = self._apply_lut_same(pairs, lut)
+        return self._all_ones(bits)
+
+    def _all_ones(self, bits: List[Block]) -> BooleanBlock:
+        nb = len(bits)
+        chunk = min(self.max_degree, nb)
+        while len(bits) > 1:
+            grouped = []
+            for i in range(0, len(bits), chunk):
+                group = bits[i:i + chunk]
+                s = group[0]
+                for g in group[1:]:
+                    s = self.key.unchecked_add(s, g)
+                k = len(group)
+                grouped.append(self.key.evaluate_univariate(
+                    s, lambda x, k=k: int(x == k)))
+            bits = grouped
+        return BooleanBlock(block=bits[0])
+
+    def ne(self, a, b):
+        e = self.eq(a, b)
+        return BooleanBlock(block=self.key.evaluate_univariate(
+            e.block, lambda x: 1 - (x % 2)))
+
+    def lt(self, a, b):
+        return self._cmp(a, b, accept=(LT,))
+
+    def le(self, a, b):
+        return self._cmp(a, b, accept=(LT, EQ))
+
+    def gt(self, a, b):
+        return self._cmp(a, b, accept=(GT,))
+
+    def ge(self, a, b):
+        return self._cmp(a, b, accept=(GT, EQ))
+
+    eq_parallelized = eq
+    ne_parallelized = ne
+    lt_parallelized = lt
+    le_parallelized = le
+    gt_parallelized = gt
+    ge_parallelized = ge
+
+    def scalar_eq(self, a, scalar: int):
+        a = self._maybe_propagate(a)
+        sb = self._scalar_blocks(scalar, a.num_blocks)
+        luts = [self.key.generate_lookup_table(lambda x, s=s: int(x == s))
+                for s in sb]
+        bits = self._apply_luts_stacked(a.blocks, luts)
+        return self._all_ones(bits)
+
+    def _scalar_cmp(self, a, scalar: int, accept):
+        a = self._maybe_propagate(a)
+        states = self._scalar_compare_states(a, scalar)
+        return self._state_to_bool(self._fold_states(states), accept)
+
+    def scalar_lt(self, a, s):
+        return self._scalar_cmp(a, s, (LT,))
+
+    def scalar_le(self, a, s):
+        return self._scalar_cmp(a, s, (LT, EQ))
+
+    def scalar_gt(self, a, s):
+        return self._scalar_cmp(a, s, (GT,))
+
+    def scalar_ge(self, a, s):
+        return self._scalar_cmp(a, s, (GT, EQ))
+
+    # ------------------------------------------------------------------
+    # selection / min / max
+    # ------------------------------------------------------------------
+
+    def cmux(self, cond: BooleanBlock, a: RadixCiphertext,
+             b: RadixCiphertext) -> RadixCiphertext:
+        """cond ? a : b — blockwise (a-b)*cond + b with batched bivariate PBS."""
+        a, b = self._maybe_propagate(a), self._maybe_propagate(b)
+        m = self.msg_mod
+        # diff blocks can be negative: compute (a_i - b_i) mod m per block with
+        # borrow-free trick: use bivariate LUT select instead
+        lut = self.key.generate_lookup_table(
+            lambda x: (x % m) if ((x // m) % 2) else 0)
+        # pack cond with each of a and b: out = cond ? a_i : b_i
+        sel_a, sel_b = [], []
+        for x, y in zip(a.blocks, b.blocks):
+            sel_a.append(self.key.unchecked_bivariate_pack(cond.block, x))
+            sel_b.append(self.key.unchecked_bivariate_pack(cond.block, y))
+        lut_then = self.key.generate_lookup_table(
+            lambda x: (x % m) if (x // m) == 1 else 0)
+        lut_else = self.key.generate_lookup_table(
+            lambda x: (x % m) if (x // m) == 0 else 0)
+        outs = self._apply_luts_stacked(sel_a + sel_b,
+                                        [lut_then] * len(sel_a) + [lut_else] * len(sel_b))
+        nb = a.num_blocks
+        blocks = [self.key.unchecked_add(outs[i], outs[nb + i]) for i in range(nb)]
+        return self.full_propagate(type(a)(blocks=blocks))
+
+    if_then_else = cmux
+    if_then_else_parallelized = cmux
+
+    def min(self, a, b):
+        return self.cmux(self.le(a, b), a, b)
+
+    def max(self, a, b):
+        return self.cmux(self.ge(a, b), a, b)
+
+    min_parallelized = min
+    max_parallelized = max
+
+    # ------------------------------------------------------------------
+    # shifts by a clear amount
+    # ------------------------------------------------------------------
+
+    def scalar_left_shift(self, a: RadixCiphertext, shift: int) -> RadixCiphertext:
+        a = self._maybe_propagate(a)
+        bits = int(math.log2(self.msg_mod))
+        blk, sub = divmod(shift, bits)
+        a = self.blockshift(a, blk)
+        if sub == 0:
+            return a
+        m = self.msg_mod
+        # block_i' = ((a_i << sub) | (a_{i-1} >> (bits-sub))) % m
+        lut = self.key.generate_lookup_table(
+            lambda x: (((x % m) << sub) | ((x // m) >> (bits - sub))) % m)
+        pairs = []
+        zero = self._trivial_zero_block(a.batch_shape)
+        for i in range(a.num_blocks):
+            prev = a.blocks[i - 1] if i > 0 else zero
+            pairs.append(self.key.unchecked_bivariate_pack(prev, a.blocks[i]))
+        return type(a)(blocks=self._apply_lut_same(pairs, lut))
+
+    scalar_left_shift_parallelized = scalar_left_shift
+
+    def scalar_right_shift(self, a: RadixCiphertext, shift: int) -> RadixCiphertext:
+        a = self._maybe_propagate(a)
+        bits = int(math.log2(self.msg_mod))
+        blk, sub = divmod(shift, bits)
+        nb = a.num_blocks
+        zero = self._trivial_zero_block(a.batch_shape)
+        blocks = a.blocks[blk:] + [zero] * min(blk, nb)
+        a = type(a)(blocks=blocks[:nb])
+        if sub == 0:
+            return a
+        m = self.msg_mod
+        lut = self.key.generate_lookup_table(
+            lambda x: (((x % m) >> sub) | (((x // m) << (bits - sub)) % m)))
+        pairs = []
+        for i in range(nb):
+            nxt = a.blocks[i + 1] if i + 1 < nb else zero
+            pairs.append(self.key.unchecked_bivariate_pack(nxt, a.blocks[i]))
+        return type(a)(blocks=self._apply_lut_same(pairs, lut))
+
+    scalar_right_shift_parallelized = scalar_right_shift
+
+    # ------------------------------------------------------------------
+    # width casts (reference cast_to_unsigned / extend/trim)
+    # ------------------------------------------------------------------
+
+    def cast_to_size(self, a: RadixCiphertext, nb: int) -> RadixCiphertext:
+        a = self._maybe_propagate(a)
+        if nb <= a.num_blocks:
+            return type(a)(blocks=a.blocks[:nb])
+        zero = self._trivial_zero_block(a.batch_shape)
+        return type(a)(blocks=a.blocks + [zero] * (nb - a.num_blocks))
+
+    # ------------------------------------------------------------------
+    # CRT ops (reference integer/server_key/crt_parallel/)
+    # ------------------------------------------------------------------
+
+    def crt_add(self, a: CrtCiphertext, b: CrtCiphertext) -> CrtCiphertext:
+        blocks = []
+        for x, y, mi in zip(a.blocks, b.blocks, a.moduli):
+            s = self.key.unchecked_add(x, y)
+            blocks.append(self.key.evaluate_univariate(s, lambda v, mi=mi: v % mi))
+        return CrtCiphertext(blocks=blocks, moduli=a.moduli)
+
+    def crt_mul(self, a: CrtCiphertext, b: CrtCiphertext) -> CrtCiphertext:
+        m = self.msg_mod
+        blocks = []
+        for x, y, mi in zip(a.blocks, b.blocks, a.moduli):
+            # reduce each residue below msg_mod before packing
+            xr = self.key.evaluate_univariate(x, lambda v, mi=mi: v % mi)
+            yr = self.key.evaluate_univariate(y, lambda v, mi=mi: v % mi)
+            packed = self.key.unchecked_bivariate_pack(xr, yr)
+            blocks.append(self.key.apply_lookup_table(
+                packed, self.key.generate_lookup_table(
+                    lambda v, mi=mi: ((v // m) * (v % m)) % mi)))
+        return CrtCiphertext(blocks=blocks, moduli=a.moduli)
+
+    def crt_neg(self, a: CrtCiphertext) -> CrtCiphertext:
+        blocks = [self.key.evaluate_univariate(x, lambda v, mi=mi: (-v) % mi)
+                  for x, mi in zip(a.blocks, a.moduli)]
+        return CrtCiphertext(blocks=blocks, moduli=a.moduli)
+
+    def crt_scalar_add(self, a: CrtCiphertext, scalar: int) -> CrtCiphertext:
+        blocks = [self.key.evaluate_univariate(x, lambda v, mi=mi, s=scalar: (v + s) % mi)
+                  for x, mi in zip(a.blocks, a.moduli)]
+        return CrtCiphertext(blocks=blocks, moduli=a.moduli)
+
+
+def gen_keys(params="PARAM_MESSAGE_2_CARRY_2_KS_PBS", num_blocks: int = 4,
+             seed: int = 0):
+    """→ (RadixClientKey, ServerKey) — reference integer::gen_keys_radix."""
+    ck, sk = shortint.gen_keys(params, seed=seed)
+    return RadixClientKey(key=ck, num_blocks=num_blocks), ServerKey(key=sk)

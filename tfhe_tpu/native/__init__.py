@@ -1,0 +1,78 @@
+"""Native (C++) components, exposed through ctypes.
+
+Currently: the AES-128-CTR tree-forkable CSPRNG (reference: concrete-csprng
+crate, SURVEY.md §2.1 [NATIVE]).  The shared library builds lazily with g++
+on first use; everything degrades gracefully (ImportError) when no compiler
+is present.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+_DIR = Path(__file__).resolve().parent
+_SO = _DIR / "libtfhe_csprng.so"
+_LIB = None
+
+
+def _build():
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_DIR / "csprng.cpp")],
+        check=True, capture_output=True)
+
+
+def _lib():
+    global _LIB
+    if _LIB is None:
+        if not _SO.exists():
+            _build()
+        lib = ctypes.CDLL(str(_SO))
+        lib.csprng_new.restype = ctypes.c_void_p
+        lib.csprng_new.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        lib.csprng_free.argtypes = [ctypes.c_void_p]
+        lib.csprng_fill.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64]
+        lib.csprng_fork.restype = ctypes.c_void_p
+        lib.csprng_fork.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.csprng_aes_block.argtypes = [ctypes.c_char_p] * 3
+        _LIB = lib
+    return _LIB
+
+
+class AesCtrGenerator:
+    """Tree-forkable AES-CTR byte stream (reference `RandomGenerator`)."""
+
+    def __init__(self, seed: bytes = None, _handle=None):
+        lib = _lib()
+        if _handle is not None:
+            self._h = _handle
+        else:
+            if seed is None:
+                seed = os.urandom(16)
+            assert len(seed) == 16
+            self._h = lib.csprng_new(seed, 0)
+        self._lib = lib
+
+    def generate(self, n: int) -> bytes:
+        buf = ctypes.create_string_buffer(n)
+        self._lib.csprng_fill(self._h, buf, n)
+        return buf.raw
+
+    def fork(self, child_index: int = 0) -> "AesCtrGenerator":
+        """Deterministic child stream (reference fork-tree contract)."""
+        h = self._lib.csprng_fork(self._h, child_index)
+        return AesCtrGenerator(_handle=h)
+
+    def __del__(self):
+        try:
+            self._lib.csprng_free(self._h)
+        except Exception:
+            pass
+
+
+def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """One AES-128 block (for FIPS-197 test vectors)."""
+    out = ctypes.create_string_buffer(16)
+    _lib().csprng_aes_block(key, block, out)
+    return out.raw

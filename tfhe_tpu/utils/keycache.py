@@ -1,0 +1,59 @@
+"""File-backed key cache keyed by parameter-set name.
+
+Re-design of the reference's test-fixture key cache
+(tfhe/src/keycache/mod.rs:1-60 — generic FileStorage/ImplKeyCache with fs2
+file locks): keys are generated once per named parameter set and shared by
+every test/process via the serialization module.  Locking uses an atomic
+O_EXCL lock file (portable, no fs2 dependency).
+"""
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Callable
+
+from . import serialization
+
+
+class KeyCache:
+    def __init__(self, root: str = "keys_cache"):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._mem = {}
+
+    def _path(self, name: str) -> Path:
+        return self.root / f"{name}.npz"
+
+    def get(self, name: str, generate: Callable[[], object]):
+        """Return cached keys for `name`, generating (under a lock) if absent."""
+        if name in self._mem:
+            return self._mem[name]
+        path = self._path(name)
+        lock = path.with_suffix(".lock")
+        for _ in range(600):
+            if path.exists():
+                obj = serialization.load(path)
+                self._mem[name] = obj
+                return obj
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                time.sleep(1.0)
+                continue
+            try:
+                obj = generate()
+                tmp = path.with_suffix(".tmp.npz")
+                serialization.save(obj, tmp)
+                os.replace(tmp, path)
+                self._mem[name] = obj
+                return obj
+            finally:
+                os.close(fd)
+                os.unlink(lock)
+        raise TimeoutError(f"key cache lock for {name} never released")
+
+    def clear(self):
+        self._mem.clear()
+        for f in self.root.glob("*.npz"):
+            f.unlink()

@@ -1,0 +1,169 @@
+"""Versioned, validated serialization for keys and ciphertexts.
+
+Re-design of the reference's `safe_serialization.rs` (version string + type
+name + size limit on top of bincode, reference tfhe/src/safe_deserialization.rs:16-60)
+and `conformance.rs` parameter validation.
+
+Format: a .npz archive — arrays as entries, structure/static metadata as a
+JSON entry.  No pickle anywhere (untrusted-input safe, like the reference's
+format choice).  Pytrees are encoded by a registry of known entity types.
+"""
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+SERIALIZATION_VERSION = "tfhe_tpu-v1"
+
+# registry: class name -> (module path, class); populated lazily
+_REGISTRY: Dict[str, Any] = {}
+
+
+class DeserializationError(ValueError):
+    pass
+
+
+def _register_known_types():
+    if _REGISTRY:
+        return
+    from ..core import entities as E
+    from ..core.algorithms import seeded as S
+    from ..core.params import (BooleanParameters, ClassicPBSParameters,
+                               DecompParams, GadgetParameters,
+                               MultiBitPBSParameters, WopbsParameters)
+    from ..boolean import BoolCiphertext, ClientKey as BooleanClientKey, \
+        ServerKey as BooleanServerKey
+    from ..shortint.ciphertext import Ciphertext as ShortintCiphertext
+    from ..shortint.client_key import ClientKey as ShortintClientKey
+    from ..shortint.server_key import LookupTable, ServerKey as ShortintServerKey
+    from ..integer.ciphertext import (CrtCiphertext, RadixCiphertext,
+                                      SignedRadixCiphertext)
+    from ..gadget.engine import (Ciphertext as GadgetCiphertext,
+                                 ClientKey as GadgetClientKey,
+                                 ServerKey as GadgetServerKey)
+    for cls in [E.LweCiphertext, E.LweSecretKey, E.GlweCiphertext,
+                E.GlweSecretKey, E.GgswCiphertext, E.LweBootstrapKey,
+                E.NttLweBootstrapKey, E.LweKeyswitchKey,
+                E.LwePackingKeyswitchKey, E.GlweRelinearizationKey,
+                S.SeededLweCiphertext, S.SeededGlweCiphertext,
+                S.SeededLweBootstrapKey, S.SeededLweKeyswitchKey,
+                DecompParams, ClassicPBSParameters, MultiBitPBSParameters,
+                WopbsParameters, BooleanParameters, GadgetParameters,
+                BoolCiphertext, BooleanClientKey, BooleanServerKey,
+                ShortintCiphertext, ShortintClientKey, ShortintServerKey,
+                LookupTable, RadixCiphertext, SignedRadixCiphertext,
+                CrtCiphertext, GadgetCiphertext, GadgetClientKey,
+                GadgetServerKey]:
+        _REGISTRY[f"{cls.__module__}.{cls.__name__}"] = cls
+
+
+def _encode(obj, arrays: Dict[str, np.ndarray], prefix: str):
+    """→ JSON-able structure; arrays stored by path key."""
+    import numpy
+    from ..gadget.encoding import Encoding
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return {"t": "lit", "v": obj}
+    if isinstance(obj, (np.integer,)):
+        return {"t": "lit", "v": int(obj)}
+    if isinstance(obj, (np.floating,)):
+        return {"t": "lit", "v": float(obj)}
+    if isinstance(obj, (jnp.ndarray, np.ndarray)):
+        key = f"a{len(arrays)}"
+        arrays[key] = np.asarray(obj)
+        return {"t": "arr", "k": key}
+    if isinstance(obj, Encoding):
+        return {"t": "encoding", "o": obj.origin_modulus, "p": obj.modulus_p,
+                "wopbs": obj.wopbs,
+                "parts": [sorted(part) for part in obj.parts]}
+    if isinstance(obj, (list, tuple)):
+        return {"t": "list" if isinstance(obj, list) else "tuple",
+                "v": [_encode(x, arrays, prefix) for x in obj]}
+    if dataclasses.is_dataclass(obj):
+        _register_known_types()
+        name = f"{type(obj).__module__}.{type(obj).__name__}"
+        if name not in _REGISTRY:
+            raise DeserializationError(f"unregistered type {name}")
+        fields = {f.name: _encode(getattr(obj, f.name), arrays, prefix)
+                  for f in dataclasses.fields(obj)}
+        return {"t": "obj", "cls": name, "fields": fields}
+    raise DeserializationError(f"cannot serialize {type(obj)}")
+
+
+def _decode(node, arrays):
+    from ..gadget.encoding import Encoding
+    t = node["t"]
+    if t == "lit":
+        return node["v"]
+    if t == "arr":
+        return jnp.asarray(arrays[node["k"]])
+    if t == "encoding":
+        return Encoding(node["o"], node["parts"], node["p"],
+                        wopbs=node["wopbs"], _validate=False)
+    if t in ("list", "tuple"):
+        vals = [_decode(x, arrays) for x in node["v"]]
+        return vals if t == "list" else tuple(vals)
+    if t == "obj":
+        _register_known_types()
+        cls = _REGISTRY.get(node["cls"])
+        if cls is None:
+            raise DeserializationError(f"unknown type {node['cls']}")
+        fields = {k: _decode(v, arrays) for k, v in node["fields"].items()}
+        return cls(**fields)
+    raise DeserializationError(f"bad node {t}")
+
+
+def save(obj, path_or_buf):
+    """Plain serialization (reference: raw serde/bincode tier)."""
+    arrays: Dict[str, np.ndarray] = {}
+    tree = _encode(obj, arrays, "")
+    meta = json.dumps({"version": SERIALIZATION_VERSION,
+                       "type": _type_name(obj), "tree": tree})
+    np.savez_compressed(path_or_buf, __meta__=np.frombuffer(
+        meta.encode(), dtype=np.uint8), **arrays)
+
+
+def _type_name(obj) -> str:
+    return f"{type(obj).__module__}.{type(obj).__name__}"
+
+
+def load(path_or_buf):
+    with np.load(path_or_buf) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    return _decode(meta["tree"], arrays)
+
+
+def safe_save(obj, path_or_buf):
+    save(obj, path_or_buf)
+
+
+def safe_load(path_or_buf, expected_type: str = None,
+              size_limit: int = None, conformance=None):
+    """Versioned + type-named + size-limited load
+    (reference safe_deserialize, safe_deserialization.rs:16-60)."""
+    if size_limit is not None and hasattr(path_or_buf, "__fspath__"):
+        import os
+        actual = os.path.getsize(path_or_buf)
+        if actual > size_limit:
+            raise DeserializationError(
+                f"serialized size {actual} exceeds limit {size_limit}")
+    with np.load(path_or_buf) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    if meta["version"] != SERIALIZATION_VERSION:
+        raise DeserializationError(
+            f"version mismatch: {meta['version']} != {SERIALIZATION_VERSION}")
+    if expected_type is not None and not (
+            meta["type"] == expected_type
+            or meta["type"].endswith("." + expected_type)):
+        raise DeserializationError(
+            f"type mismatch: expected {expected_type}, got {meta['type']}")
+    obj = _decode(meta["tree"], arrays)
+    if conformance is not None and not conformance(obj):
+        raise DeserializationError("parameter conformance check failed")
+    return obj
