@@ -59,8 +59,14 @@ def main():
 
     t0 = time.time()
     out = pbs_batch(ct_dev, sk_dev, lut_dev)
-    out.block_until_ready()
+    np.asarray(out)  # host materialization: block_until_ready does not truly
+    # block through the axon remote-execution tunnel
     print(f"# first call (compile+run): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # measure device->host transfer time to subtract it from the loop timing
+    t0 = time.time()
+    np.asarray(pbs_batch(ct_dev, sk_dev, lut_dev))
+    t_with_transfer = time.time() - t0
 
     # chain output->input so every iteration is a real, uncacheable execution
     # (the PBS output lives under the same big key as its input in KS_PBS order)
@@ -68,8 +74,11 @@ def main():
     cur = out
     for _ in range(args.iters):
         cur = pbs_batch(cur, sk_dev, lut_dev)
-    cur.block_until_ready()
-    dt = (time.time() - t0) / args.iters
+    np.asarray(cur)
+    total = time.time() - t0
+    dt = total / args.iters
+    print(f"# single call incl transfer: {t_with_transfer:.3f}s; "
+          f"chained {args.iters}: {total:.3f}s", file=sys.stderr)
     pbs_per_sec = args.batch / dt
     out = pbs_batch(ct_dev, sk_dev, lut_dev)
 

@@ -1,0 +1,71 @@
+"""Example-app integration tests (analogues of the reference's
+examples/ — dark_market, regex_engine, sha256_bool primitives)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu import boolean as B
+from tfhe_tpu import integer
+from tfhe_tpu.core.params import TEST_PARAMS_BOOLEAN, TEST_PARAMS_SHORTINT
+from tfhe_tpu.examples import dark_market, regex_engine, sha256_bool
+
+
+@pytest.fixture(scope="module")
+def ikeys():
+    return integer.gen_keys(TEST_PARAMS_SHORTINT, num_blocks=4, seed=71)
+
+
+def test_dark_market_volume_match(ikeys):
+    ck, sk = ikeys
+    buys = [10, 4, 6]
+    sells = [5, 9]
+    enc_buys = [ck.encrypt(jnp.asarray(v), seed=100 + i) for i, v in enumerate(buys)]
+    enc_sells = [ck.encrypt(jnp.asarray(v), seed=200 + i) for i, v in enumerate(sells)]
+    fb, fs = dark_market.volume_match(sk, enc_buys, enc_sells)
+    got_b = [int(ck.decrypt(x)) for x in fb]
+    got_s = [int(ck.decrypt(x)) for x in fs]
+    # matched volume = min(20, 14) = 14, filled greedily
+    assert got_b == [10, 4, 0]
+    assert got_s == [5, 9]
+
+
+def test_regex_engine(ikeys):
+    ck, sk = ikeys
+
+    def match(pattern, text):
+        enc = [ck.encrypt(jnp.asarray(ord(c)), seed=300 + i)
+               for i, c in enumerate(text)]
+        out = regex_engine.regex_match_radix(sk, pattern, enc)
+        return bool(int(np.asarray(ck.key.decrypt(out))) & 1)
+
+    assert match("ab", "ab") is True
+    assert match("ab", "ac") is False
+    assert match("a[bc]", "ac") is True
+    assert match("a|b", "b") is True
+    assert match("ab?", "a") is True
+
+
+def test_sha256_word_primitives():
+    ck, sk = B.gen_keys(TEST_PARAMS_BOOLEAN, seed=72)
+    params = ck.params
+    a_val, b_val = 0x12345678, 0x9ABCDEF0
+    a = sha256_bool.encrypt_word(ck, a_val, seed=1)
+    b = sha256_bool.trivial_word(params, b_val)
+
+    assert sha256_bool.decrypt_word(ck, sha256_bool.rotr(a, 7)) == \
+        ((a_val >> 7) | (a_val << 25)) & 0xFFFFFFFF
+    assert sha256_bool.decrypt_word(ck, sha256_bool.shr(a, 3, params)) == a_val >> 3
+    assert sha256_bool.decrypt_word(ck, sha256_bool.xor_words(sk, a, b)) == \
+        a_val ^ b_val
+    assert sha256_bool.decrypt_word(ck, sha256_bool.add_words(sk, a, b, params)) == \
+        (a_val + b_val) & 0xFFFFFFFF
+
+
+def test_sha256_sigma():
+    ck, sk = B.gen_keys(TEST_PARAMS_BOOLEAN, seed=73)
+    params = ck.params
+    v = 0x6a09e667
+    w = sha256_bool.trivial_word(params, v)
+    expect = (((v >> 7) | (v << 25)) ^ ((v >> 18) | (v << 14)) ^ (v >> 3)) & 0xFFFFFFFF
+    got = sha256_bool.decrypt_word(ck, sha256_bool.small_sigma0(sk, w, params))
+    assert got == expect

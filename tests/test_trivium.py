@@ -1,0 +1,65 @@
+"""Trivium/Kreyvium app tests: homomorphic keystream == clear model, and
+transciphering round trip (analogue of apps/trivium/src tests, reduced
+warm-up for CPU test speed)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu import boolean as B
+from tfhe_tpu.apps import (KreyviumStream, TriviumStream,
+                           clear_kreyvium_keystream, clear_trivium_keystream,
+                           trans_decrypt_u64, trans_encrypt_u64)
+from tfhe_tpu.core.params import TEST_PARAMS_BOOLEAN
+
+WARMUP = 16   # reduced from the spec's 1152 to keep CPU tests fast
+NBITS = 8
+
+
+@pytest.fixture(scope="module")
+def bkeys():
+    return B.gen_keys(TEST_PARAMS_BOOLEAN, seed=61)
+
+
+def test_trivium_matches_clear(bkeys, rs):
+    ck, sk = bkeys
+    key_bits = [int(b) for b in rs.randint(0, 2, 80)]
+    iv_bits = [int(b) for b in rs.randint(0, 2, 80)]
+    enc_key = [B.encrypt(ck, jnp.asarray(bool(b)), seed=100 + i)
+               for i, b in enumerate(key_bits)]
+    stream = TriviumStream(sk, enc_key, iv_bits, warmup_rounds=WARMUP)
+    clear = clear_trivium_keystream(key_bits, iv_bits, NBITS, warmup_rounds=WARMUP)
+    got = [bool(np.asarray(B.decrypt(ck, z))) for z in stream.next_bits(NBITS)]
+    assert got == [bool(b) for b in clear]
+
+
+def test_kreyvium_matches_clear(bkeys, rs):
+    ck, sk = bkeys
+    key_bits = [int(b) for b in rs.randint(0, 2, 128)]
+    iv_bits = [int(b) for b in rs.randint(0, 2, 128)]
+    enc_key = [B.encrypt(ck, jnp.asarray(bool(b)), seed=300 + i)
+               for i, b in enumerate(key_bits)]
+    stream = KreyviumStream(sk, enc_key, iv_bits, warmup_rounds=WARMUP)
+    clear = clear_kreyvium_keystream(key_bits, iv_bits, 4, warmup_rounds=WARMUP)
+    got = [bool(np.asarray(B.decrypt(ck, z))) for z in stream.next_bits(4)]
+    assert got == [bool(b) for b in clear]
+
+
+def test_transciphering_roundtrip(bkeys, rs):
+    """Client XOR-masks a value with the clear keystream; the server XORs the
+    encrypted keystream back in; decrypting recovers the value's bits."""
+    ck, sk = bkeys
+    key_bits = [int(b) for b in rs.randint(0, 2, 80)]
+    iv_bits = [int(b) for b in rs.randint(0, 2, 80)]
+    value = 0xDEADBEEF12345678
+
+    clear_ks = clear_trivium_keystream(key_bits, iv_bits, 64, warmup_rounds=WARMUP)
+    masked = trans_encrypt_u64(value, clear_ks)
+
+    enc_key = [B.trivial_encrypt(ck.params, jnp.asarray(bool(b)))
+               for b in key_bits]
+    stream = TriviumStream(sk, enc_key, iv_bits, warmup_rounds=WARMUP)
+    enc_bits = trans_decrypt_u64(masked, stream, ck)
+    got = 0
+    for i, eb in enumerate(enc_bits):
+        got |= int(bool(np.asarray(B.decrypt(ck, eb)))) << i
+    assert got == value

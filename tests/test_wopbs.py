@@ -1,0 +1,55 @@
+"""WoP-PBS tests: bit extraction, circuit bootstrap, vertical packing and
+the shortint WopbsKey (the analogue of shortint/wopbs/test.rs)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu import shortint
+from tfhe_tpu.core.algorithms import decrypt_lwe
+from tfhe_tpu.core.entities import LweCiphertext
+from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT
+from tfhe_tpu.shortint.client_key import delta_for
+from tfhe_tpu.shortint.wopbs import new_wopbs_key_only_for_wopbs
+
+
+@pytest.fixture(scope="module")
+def wkeys():
+    ck, sk = shortint.gen_keys(TEST_PARAMS_SHORTINT, seed=41)
+    wk = new_wopbs_key_only_for_wopbs(ck, sk, seed=42)
+    return ck, sk, wk
+
+
+def test_extract_bits(wkeys):
+    ck, _, wk = wkeys
+    msgs = jnp.asarray([0, 5, 10, 15], dtype=jnp.uint64)
+    ct = ck.unchecked_encrypt(msgs, seed=1)
+    bits = wk.extract_bits(ct)
+    assert bits.data.shape[-2] == 4
+    for i in range(4):  # MSB first
+        bit_lwe = LweCiphertext(data=bits.data[..., i, :])
+        phase = np.asarray(decrypt_lwe(bit_lwe, ck.lwe_sk, 64))
+        got = ((phase + (1 << 62)) >> 63) % 2
+        expect = (np.asarray(msgs) >> (3 - i)) & 1
+        np.testing.assert_array_equal(got, expect, err_msg=f"bit {i}")
+
+
+def test_wopbs_identity(wkeys):
+    ck, _, wk = wkeys
+    msgs = jnp.asarray([0, 3, 7, 12, 15], dtype=jnp.uint64)
+    ct = ck.unchecked_encrypt(msgs, seed=2)
+    lut = wk.generate_lut(lambda x: x)
+    out = wk.wopbs(ct, lut)
+    np.testing.assert_array_equal(
+        np.asarray(ck.decrypt_message_and_carry(out)), np.asarray(msgs))
+
+
+def test_wopbs_arbitrary_function(wkeys):
+    """The whole point of WoP-PBS: a non-negacyclic LUT over all 16 values."""
+    ck, _, wk = wkeys
+    f = lambda x: (x * x + 3) % 16
+    msgs = jnp.arange(16, dtype=jnp.uint64)
+    ct = ck.unchecked_encrypt(msgs, seed=3)
+    out = wk.wopbs(ct, wk.generate_lut(f))
+    np.testing.assert_array_equal(
+        np.asarray(ck.decrypt_message_and_carry(out)),
+        [f(i) for i in range(16)])

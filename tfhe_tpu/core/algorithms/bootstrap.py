@@ -57,7 +57,7 @@ def external_product_accumulate(acc_data, operand_data, bsk_slice,
     Returns updated acc_data."""
     n = acc_data.shape[-1]
     glwe_size = acc_data.shape[-2]
-    num_primes = bsk_slice.shape[0]
+    num_primes = bsk_slice.shape[-4]
     plan = get_plan(n, num_primes)
 
     digits = signed_decompose(operand_data, decomp, log_q)   # [..., k+1, N, l]

@@ -94,14 +94,24 @@ class ServerKey:
         m = self.message_modulus
         return self.generate_lookup_table(lambda x: f(x) % m)
 
+    def _pbs(self, lwe, acc):
+        """Dispatch classic vs multi-bit bootstrap (the reference's
+        ShortintBootstrappingKey::Classic | MultiBit, shortint/server_key/mod.rs:104)."""
+        from ..core.algorithms.multi_bit import (NttMultiBitBootstrapKey,
+                                                 multi_bit_blind_rotate)
+        if isinstance(self.bsk, NttMultiBitBootstrapKey):
+            rotated = multi_bit_blind_rotate(acc, lwe, self.bsk, LOG_Q)
+            return sample_extract(rotated, 0)
+        return programmable_bootstrap(lwe, acc, self.bsk, LOG_Q)
+
     def apply_lookup_table(self, ct: Ciphertext, lut: LookupTable) -> Ciphertext:
         """KS → PBS (default KeyswitchBootstrap order) — the atomic pattern
         (reference apply_lookup_table_assign, shortint/server_key/mod.rs:465)."""
         if self.params.pbs_order == PBSOrder.KEYSWITCH_BOOTSTRAP:
             small = keyswitch_lwe(ct.lwe, self.ksk, LOG_Q)
-            out = programmable_bootstrap(small, lut.acc, self.bsk, LOG_Q)
+            out = self._pbs(small, lut.acc)
         else:
-            big = programmable_bootstrap(ct.lwe, lut.acc, self.bsk, LOG_Q)
+            big = self._pbs(ct.lwe, lut.acc)
             out = keyswitch_lwe(big, self.ksk, LOG_Q)
         return ct.with_(lwe=out, degree=lut.degree, noise_level=NoiseLevel.NOMINAL)
 
@@ -328,15 +338,25 @@ class ServerKey:
 
 
 def gen_server_key(ck: ClientKey, key) -> ServerKey:
-    """BSK (small→GLWE) + KSK (big→small), both NTT/batched
-    (reference shortint engine new_server_key, shortint/engine/server_side.rs)."""
+    """BSK (small→GLWE, classic or multi-bit per the parameter set) + KSK
+    (big→small) (reference shortint engine new_server_key)."""
+    from ..core.params import MultiBitPBSParameters
     p = ck.params
     k_bsk, k_ksk = rng.split(key)
-    bsk_std = generate_bootstrap_key(k_bsk, ck.lwe_sk, ck.glwe_sk,
-                                     p.pbs_decomp, p.glwe_noise_std, LOG_Q)
-    npr = external_product_num_primes(p.polynomial_size, p.glwe_size,
-                                      p.pbs_decomp, LOG_Q)
-    bsk = bootstrap_key_to_ntt(bsk_std, LOG_Q, npr)
+    if isinstance(p, MultiBitPBSParameters):
+        from ..core.algorithms.multi_bit import (
+            generate_multi_bit_bootstrap_key, multi_bit_bootstrap_key_to_ntt)
+        std = generate_multi_bit_bootstrap_key(
+            k_bsk, ck.lwe_sk, ck.glwe_sk, p.pbs_decomp, p.grouping_factor,
+            p.glwe_noise_std, LOG_Q)
+        bsk = multi_bit_bootstrap_key_to_ntt(std, p.pbs_decomp,
+                                             p.grouping_factor, LOG_Q)
+    else:
+        bsk_std = generate_bootstrap_key(k_bsk, ck.lwe_sk, ck.glwe_sk,
+                                         p.pbs_decomp, p.glwe_noise_std, LOG_Q)
+        npr = external_product_num_primes(p.polynomial_size, p.glwe_size,
+                                          p.pbs_decomp, LOG_Q)
+        bsk = bootstrap_key_to_ntt(bsk_std, LOG_Q, npr)
     ksk = generate_keyswitch_key(k_ksk, ck.big_sk, ck.lwe_sk, p.ks_decomp,
                                  p.lwe_noise_std, LOG_Q)
     return ServerKey(ksk=ksk, bsk=bsk, params=p)
