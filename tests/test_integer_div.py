@@ -1,0 +1,33 @@
+"""Integer division tests (restoring long division, reference div_rem)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu import integer
+from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT
+
+
+@pytest.fixture(scope="module")
+def dkeys():
+    # 2 blocks x 2 bits = 4-bit integers keep the long division fast on CPU
+    return integer.gen_keys(TEST_PARAMS_SHORTINT, num_blocks=2, seed=81)
+
+
+def test_div_rem(dkeys):
+    ck, sk = dkeys
+    a = np.array([7, 13, 15, 4])
+    b = np.array([2, 3, 4, 5])
+    ca = ck.encrypt(jnp.asarray(a), seed=1)
+    cb = ck.encrypt(jnp.asarray(b), seed=2)
+    q, r = sk.div_rem(ca, cb)
+    np.testing.assert_array_equal(ck.decrypt(q), a // b)
+    np.testing.assert_array_equal(ck.decrypt(r), a % b)
+
+
+def test_div_by_zero_convention(dkeys):
+    """Restoring division with encrypted zero divisor: q=0, r=a."""
+    ck, sk = dkeys
+    ca = ck.encrypt(jnp.asarray([9]), seed=3)
+    cb = ck.encrypt(jnp.asarray([0]), seed=4)
+    q, r = sk.div_rem(ca, cb)
+    assert int(ck.decrypt(r)[0]) == 9

@@ -1,0 +1,86 @@
+"""Fused Pallas blind-rotation kernel vs the XLA reference path
+(interpret mode on CPU; the compiled kernel runs on the TPU in bench.py)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu.core import rng
+from tfhe_tpu.core.algorithms import (bootstrap_key_to_ntt, decrypt_lwe,
+                                      encrypt_lwe, generate_bootstrap_key,
+                                      generate_glwe_secret_key,
+                                      generate_lwe_secret_key,
+                                      programmable_bootstrap, sample_extract,
+                                      trivial_glwe)
+from tfhe_tpu.core.algorithms.bootstrap import external_product_num_primes
+from tfhe_tpu.core.algorithms.encryption import bootstrap_key_to_ntt_paired
+from tfhe_tpu.core.entities import GlweCiphertext, LweCiphertext
+from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT as P
+from tfhe_tpu.core.poly.pallas_ntt import blind_rotate_pallas
+
+DELTA = np.uint64(1) << np.uint64(59)
+
+
+@pytest.fixture(scope="module")
+def pkeys():
+    root = rng.key_from_seed(77)
+    ks = rng.split(root, 4)
+    lwe_sk = generate_lwe_secret_key(ks[0], P.lwe_dimension)
+    glwe_sk = generate_glwe_secret_key(ks[1], P.glwe_dimension, P.polynomial_size)
+    bsk_std = generate_bootstrap_key(ks[2], lwe_sk, glwe_sk, P.pbs_decomp,
+                                     P.glwe_noise_std, 64)
+    npr = external_product_num_primes(P.polynomial_size, P.glwe_size,
+                                      P.pbs_decomp, 64)
+    bsk = bootstrap_key_to_ntt(bsk_std, 64, npr)
+    paired, paired_sh = bootstrap_key_to_ntt_paired(bsk, 64)
+    return dict(lwe_sk=lwe_sk, glwe_sk=glwe_sk, bsk=bsk, paired=paired,
+                paired_sh=paired_sh, big_sk=glwe_sk.as_lwe_secret_key(),
+                enc_key=ks[3])
+
+
+def _lut(f, p_space=16):
+    n_poly = P.polynomial_size
+    box = n_poly // p_space
+    vals = np.repeat(np.array([f(i) % (2 * p_space) for i in range(p_space)],
+                              dtype=np.uint64), box) * DELTA
+    vals = np.roll(vals, -(box // 2))
+    vals[-(box // 2):] = np.uint64(0) - vals[-(box // 2):]
+    return trivial_glwe(jnp.asarray(vals), P.glwe_dimension, 64)
+
+
+def test_pallas_blind_rotate_matches_xla(pkeys):
+    f = lambda x: (3 * x + 1) % 16
+    acc = _lut(f)
+    msgs = jnp.arange(16, dtype=jnp.uint64) * DELTA
+    ct = encrypt_lwe(pkeys["enc_key"], pkeys["lwe_sk"], msgs, P.lwe_noise_std, 64)
+
+    # XLA reference result
+    ref = programmable_bootstrap(ct, acc, pkeys["bsk"], 64)
+    ref_dec = np.asarray((decrypt_lwe(ref, pkeys["big_sk"], 64)
+                          + (DELTA >> np.uint64(1))) // DELTA) % 16
+
+    # Pallas (interpret) result
+    rotated = blind_rotate_pallas(acc.data, ct.data, pkeys["paired"],
+                                  pkeys["paired_sh"], P.pbs_decomp,
+                                  block_b=8, interpret=True)
+    out = sample_extract(GlweCiphertext(data=rotated), 0)
+    pal_dec = np.asarray((decrypt_lwe(out, pkeys["big_sk"], 64)
+                          + (DELTA >> np.uint64(1))) // DELTA) % 16
+
+    expect = [(3 * i + 1) % 16 for i in range(16)]
+    np.testing.assert_array_equal(ref_dec, expect)
+    np.testing.assert_array_equal(pal_dec, expect)
+
+
+def test_pallas_odd_batch_padding(pkeys):
+    """Batch not divisible by the tile exercises the padding path."""
+    f = lambda x: x
+    acc = _lut(f)
+    msgs = jnp.asarray([1, 5, 9], dtype=jnp.uint64) * DELTA
+    ct = encrypt_lwe(pkeys["enc_key"], pkeys["lwe_sk"], msgs, P.lwe_noise_std, 64)
+    rotated = blind_rotate_pallas(acc.data, ct.data, pkeys["paired"],
+                                  pkeys["paired_sh"], P.pbs_decomp,
+                                  block_b=8, interpret=True)
+    out = sample_extract(GlweCiphertext(data=rotated), 0)
+    dec = np.asarray((decrypt_lwe(out, pkeys["big_sk"], 64)
+                      + (DELTA >> np.uint64(1))) // DELTA) % 16
+    np.testing.assert_array_equal(dec, [1, 5, 9])

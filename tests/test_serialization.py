@@ -112,3 +112,45 @@ def test_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as entry
     entry.dryrun_multichip(8)
+
+
+def test_compressed_server_key():
+    from tfhe_tpu import shortint
+    from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT
+    from tfhe_tpu.shortint.server_key import gen_compressed_server_key
+    ck, _ = shortint.gen_keys(TEST_PARAMS_SHORTINT, seed=85)
+    csk = gen_compressed_server_key(ck, seed=86)
+    sk2 = csk.decompress()
+    msgs = jnp.asarray([0, 1, 2, 3], dtype=jnp.uint64)
+    ct = ck.encrypt(msgs, seed=87)
+    lut = sk2.generate_lookup_table(lambda x: (x + 1) % 4)
+    out = sk2.apply_lookup_table(ct, lut)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(out)),
+                                  (np.arange(4) + 1) % 4)
+
+
+def test_boolean_public_key():
+    from tfhe_tpu import boolean as B
+    from tfhe_tpu.core.params import TEST_PARAMS_BOOLEAN
+    ck, sk = B.gen_keys(TEST_PARAMS_BOOLEAN, seed=88)
+    pk = B.gen_public_key(ck, seed=89)
+    msgs = jnp.asarray([True, False, True])
+    ct = B.encrypt_with_public_key(pk, msgs, seed=90)
+    np.testing.assert_array_equal(np.asarray(B.decrypt(ck, ct)), np.asarray(msgs))
+    out = B.and_(sk, ct, B.encrypt(ck, jnp.asarray([True, True, False]), seed=91))
+    np.testing.assert_array_equal(np.asarray(B.decrypt(ck, out)), [True, False, False])
+
+
+def test_compact_public_key():
+    from tfhe_tpu.core import rng as crng
+    from tfhe_tpu.core.algorithms import decrypt_lwe, generate_lwe_secret_key
+    from tfhe_tpu.core.algorithms.public_key import (
+        encrypt_lwe_compact_batch, generate_lwe_compact_public_key)
+    sk = generate_lwe_secret_key(crng.key_from_seed(92), 64)
+    pk = generate_lwe_compact_public_key(crng.key_from_seed(93), sk, 2.0**20, 64)
+    delta = np.uint64(1) << np.uint64(60)
+    pts = jnp.arange(8, dtype=jnp.uint64) * delta
+    cts = encrypt_lwe_compact_batch(crng.key_from_seed(94), pk, pts, 2.0**20)
+    dec = decrypt_lwe(cts, sk, 64)
+    got = np.asarray((dec + (delta >> np.uint64(1))) // delta) % 16
+    np.testing.assert_array_equal(got, np.arange(8))

@@ -18,10 +18,16 @@ Layout (bottom-up, mirroring the reference's layer map):
   utils/     — serialization, key cache, seeding
 """
 
+import sys as _sys
+
 import jax as _jax
 
 # The 64-bit discretized torus requires uint64 arrays.
 _jax.config.update("jax_enable_x64", True)
+
+# Deep fused kernels (pallas_ntt) build long expression chains; the default
+# recursion limit is too small for their tracing.
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
 
 __version__ = "0.1.0"
 

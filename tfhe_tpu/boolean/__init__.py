@@ -234,3 +234,35 @@ def mux(sk: ServerKey, cond: BoolCiphertext, then_ct: BoolCiphertext,
     out = p1.data + p2.data
     out = out.at[..., -1].add(PLAINTEXT_TRUE)
     return BoolCiphertext(lwe=keyswitch_lwe(LweCiphertext(data=out), sk.ksk, LOG_Q))
+
+
+# ---------------------------------------------------------------------------
+# public keys (reference boolean/public_key/)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class PublicKey:
+    """List-of-zero-encryptions public key for the boolean scheme."""
+
+    pk: Any
+    params: BooleanParameters = struct.field(pytree_node=False)
+
+
+def gen_public_key(ck: ClientKey, zero_count: int = None, seed: int = 0) -> PublicKey:
+    from ..core.algorithms.public_key import generate_lwe_public_key
+    n = ck.encryption_key.lwe_dimension
+    zero_count = zero_count or (2 * n)
+    key = rng.fork(rng.key_from_seed(seed), 0xB0B)
+    pk = generate_lwe_public_key(key, ck.encryption_key, zero_count,
+                                 _fresh_noise_std(ck.params), LOG_Q)
+    return PublicKey(pk=pk, params=ck.params)
+
+
+def encrypt_with_public_key(pk: PublicKey, messages, seed: int = 0) -> BoolCiphertext:
+    from ..core.algorithms.public_key import encrypt_lwe_with_public_key
+    msgs = jnp.asarray(messages, dtype=bool)
+    pts = jnp.where(msgs, PLAINTEXT_TRUE, PLAINTEXT_FALSE)
+    key = rng.fork(rng.key_from_seed(seed), 0xB0C)
+    ct = encrypt_lwe_with_public_key(key, pk.pk, pts)
+    return BoolCiphertext(lwe=ct)

@@ -1,0 +1,29 @@
+"""Runtime configuration switches (the analogue of the reference's cargo
+feature switchboard, SURVEY.md §5.6)."""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+_USE_PALLAS: Optional[bool] = None
+
+
+def use_pallas_pbs() -> bool:
+    """Whether the fused Pallas blind-rotation kernel drives the PBS.
+    Defaults to True on TPU backends, False elsewhere (the XLA path is the
+    portable reference implementation).  Override with set_use_pallas_pbs or
+    TFHE_TPU_USE_PALLAS=0/1."""
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        env = os.environ.get("TFHE_TPU_USE_PALLAS")
+        if env is not None:
+            _USE_PALLAS = env not in ("0", "false", "False")
+        else:
+            import jax
+            _USE_PALLAS = jax.default_backend() not in ("cpu",)
+    return _USE_PALLAS
+
+
+def set_use_pallas_pbs(flag: bool):
+    global _USE_PALLAS
+    _USE_PALLAS = bool(flag)

@@ -140,7 +140,18 @@ def programmable_bootstrap(lwe: LweCiphertext, lut: GlweCiphertext,
                            bsk: NttLweBootstrapKey, log_q: int) -> LweCiphertext:
     """Full PBS: mod-switch → blind rotate → sample extract coefficient 0
     (reference programmable_bootstrap_lwe_ciphertext,
-    algorithms/lwe_programmable_bootstrapping.rs:1017)."""
+    algorithms/lwe_programmable_bootstrapping.rs:1017).
+
+    Uses the fused Pallas step kernel when enabled (config.use_pallas_pbs)
+    and the key carries its paired form; otherwise the XLA path."""
+    from ... import config
+    if (config.use_pallas_pbs() and bsk.paired is not None
+            and lut.data.ndim == 2):
+        from ..poly.pallas_ntt import blind_rotate_pallas
+        rotated = GlweCiphertext(data=blind_rotate_pallas(
+            lut.data, lwe.data, bsk.paired, bsk.paired_shoup, bsk.decomp,
+            log_q=log_q))
+        return sample_extract(rotated, 0)
     rotated = blind_rotate(lut, lwe, bsk, log_q)
     return sample_extract(rotated, 0)
 

@@ -204,7 +204,52 @@ def bootstrap_key_to_ntt(bsk: LweBootstrapKey, log_q: int,
     hat = hat.reshape(n_in, plan.num_primes, levels * glwe_size, glwe_size, n)
     p64 = jnp.asarray(plan.p64[:, None, None, :])    # [P,1,1,1]
     sh = (hat << jnp.uint64(32)) // p64              # keygen-time division: cold
-    return NttLweBootstrapKey(data=hat, shoup=sh, decomp=bsk.decomp, log_q=log_q)
+    key = NttLweBootstrapKey(data=hat, shoup=sh, decomp=bsk.decomp, log_q=log_q)
+    if log_q == 64 and all(p > (1 << 30) for p in plan.primes):
+        paired, paired_sh = bootstrap_key_to_ntt_paired(key, log_q)
+        key = NttLweBootstrapKey(data=hat, shoup=sh, paired=paired,
+                                 paired_shoup=paired_sh, decomp=bsk.decomp,
+                                 log_q=log_q)
+    return key
+
+
+def trivial_ggsw_one_ntt(n: int, glwe_size: int, decomp: DecompParams,
+                         num_primes: int, log_q: int):
+    """NTT spectra of the *trivial* GGSW of 1 (the gadget matrix itself):
+    row (l, r) has the constant polynomial q/B^(l+1) at component r, whose
+    spectrum is that constant in every slot.  Layout [P, l*(k+1), k+1, N]."""
+    plan = get_plan(n, num_primes)
+    levels = decomp.level
+    out = np.zeros((plan.num_primes, levels * glwe_size, glwe_size, n),
+                   dtype=np.uint64)
+    for l in range(levels):
+        g = (1 << (log_q - decomp.base_log * (l + 1))) % (1 << 64)
+        # signed representative mod p of the torus constant g
+        gs = g - (1 << 64) if g >= 1 << 63 else g
+        for r in range(glwe_size):
+            for pi, p in enumerate(plan.primes):
+                out[pi, l * glwe_size + r, r, :] = gs % p
+    return jnp.asarray(out)
+
+
+def bootstrap_key_to_ntt_paired(bsk: NttLweBootstrapKey, log_q: int):
+    """Classic NTT BSK → paired form for the gather-free phase-domain blind
+    rotation: pair0 = GGSW(1 - s_i) = GGSW_trivial(1) - GGSW(s_i),
+    pair1 = GGSW(s_i).  Output (data [n, 2, P, J, R, N], shoup twin).
+
+    The blind-rotation step then computes
+        acc ← (pair0 + X^ã·pair1) ⊡ acc
+    with the monomial applied as a pointwise phase in the NTT domain —
+    no coefficient-space rotation, no gather (pallas_ntt.py)."""
+    n_in, npr, J, R, n = bsk.data.shape
+    plan = get_plan(n, npr)
+    g1 = trivial_ggsw_one_ntt(n, R, bsk.decomp, npr, log_q)      # [P, J, R, N]
+    p64 = jnp.asarray(plan.p64[:, None, None, :])
+    pair1 = bsk.data
+    pair0 = (g1 + p64 - pair1) % p64
+    data = jnp.stack([pair0, pair1], axis=1)                     # [n, 2, P, J, R, N]
+    sh = (data << jnp.uint64(32)) // p64
+    return data.astype(jnp.uint32), sh.astype(jnp.uint32)
 
 
 # ---------------------------------------------------------------------------

@@ -131,7 +131,8 @@ def _monomial_pow_tables(n: int, num_primes: int):
     sh = np.array([[[(int(x) << 32) // int(p) for x in row]
                     for row, p in zip(mat, plan.primes)] for mat in hat],
                   dtype=np.uint64)
-    return jnp.asarray(hat), jnp.asarray(sh)
+    # return numpy (not jnp) so the lru_cache never holds traced values
+    return hat, sh
 
 
 def _monomial_spectrum(plan, c, n: int):
@@ -143,7 +144,8 @@ def _monomial_spectrum(plan, c, n: int):
     acc = jnp.ones(c.shape[:-1] + (plan.num_primes, n), dtype=U64)
     for b in range(nb):
         bit = ((c >> b) & 1).astype(bool)[..., None]           # [..., 1, 1]
-        mult = mulmod_shoup(acc, tables[b], tables_sh[b], p64)
+        mult = mulmod_shoup(acc, jnp.asarray(tables[b]),
+                            jnp.asarray(tables_sh[b]), p64)
         acc = jnp.where(bit, mult, acc)
     return acc
 

@@ -151,3 +151,27 @@ def decompress_bootstrap_key(sbsk: SeededLweBootstrapKey) -> LweBootstrapKey:
                                 sbsk.log_q)
     data = jnp.concatenate([masks, sbsk.bodies[..., None, :]], axis=-2)
     return LweBootstrapKey(data=data, decomp=sbsk.decomp)
+
+
+def generate_seeded_keyswitch_key(seed: int, in_sk, out_sk, decomp,
+                                  noise_std: float, log_q: int):
+    """(full KSK, seeded twin): masks drawn from the seed's replayable stream."""
+    from .encryption import generate_keyswitch_key
+    full = generate_keyswitch_key(rng.key_from_seed(seed), in_sk, out_sk,
+                                  decomp, noise_std, log_q)
+    seeded = SeededLweKeyswitchKey(
+        bodies=full.data[..., -1], seed=seed, decomp=decomp,
+        output_lwe_dimension=out_sk.lwe_dimension, log_q=log_q)
+    return full, seeded
+
+
+def decompress_keyswitch_key(skk: SeededLweKeyswitchKey) -> LweKeyswitchKey:
+    """Replay the public mask stream of generate_keyswitch_key (which calls
+    encrypt_lwe once over the [n_in, l] plaintext grid)."""
+    n_in, levels = skk.bodies.shape
+    root = rng.key_from_seed(skk.seed)
+    mask_key = rng.split(root)[0]
+    mask = rng.uniform_torus(mask_key, (n_in, levels, skk.output_lwe_dimension),
+                             skk.log_q)
+    data = jnp.concatenate([mask, skk.bodies[..., None]], axis=-1)
+    return LweKeyswitchKey(data=data, decomp=skk.decomp)

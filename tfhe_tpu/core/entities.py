@@ -172,6 +172,8 @@ class NttLweBootstrapKey:
 
     data: Any
     shoup: Any = None
+    paired: Any = None         # [n, 2, P, J, R, N] u32 — GGSW(1-s), GGSW(s)
+    paired_shoup: Any = None   # for the fused Pallas phase-domain rotation
     decomp: DecompParams = _static(default=None)
     log_q: int = _static(default=64)
 

@@ -1,0 +1,474 @@
+"""Fused Pallas TPU kernel for the blind-rotation step.
+
+The XLA path (bootstrap.py) is correct but HBM-bound: every butterfly stage
+materializes its operands.  This kernel fuses the ENTIRE external-product
+step — digit decomposition → forward CRT-NTT → monomial phase → MAC against
+the paired bootstrap key → inverse NTT → Garner CRT → accumulator update —
+in VMEM, so per step the only HBM traffic is the accumulator tile and the
+BSK slice.
+
+Key design points (all forced by the hardware/probe results):
+  * Mosaic has no 64-bit integers → the torus accumulator travels as
+    (hi, lo) uint32 planes; all modular arithmetic is uint32 with 16-bit
+    split mulhi (6 multiplies per Shoup modular multiplication).
+  * No coefficient-space rotation: the blind-rotation monomial X^ã is a
+    pointwise phase in the NTT domain applied to the *digit spectra*, against
+    the paired key (GGSW(1-s), GGSW(s)) — see
+    encryption.bootstrap_key_to_ntt_paired.  This removes the per-step
+    gather entirely:   acc ← (pair0 + X^ã · pair1) ⊡ acc.
+  * Butterflies are lane-uniform: partner access via pltpu.roll(±h) and a
+    static parity mask, twiddles pre-expanded to full-length [P, N] vectors
+    per stage (1 at lo positions) — every stage costs the same handful of
+    vector ops regardless of stride.
+
+The same scrambled DIF/DIT ordering as poly/ntt.py is used, so spectra
+interoperate with the XLA-side tables (BSK, monomial powers).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..decomposition import signed_decompose  # noqa: F401 (XLA fallback parity)
+from ..params import DecompParams
+from .ntt import NttPlan, get_plan, shoup as shoup_int
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+
+# ---------------------------------------------------------------------------
+# table construction (host, numpy)
+# ---------------------------------------------------------------------------
+
+
+class StepTables(NamedTuple):
+    twist: np.ndarray        # [P, N] u32
+    twist_sh: np.ndarray
+    fwd: np.ndarray          # [log_n, P, N] u32 (1 at lo positions)
+    fwd_sh: np.ndarray
+    inv: np.ndarray          # [log_n, P, N]
+    inv_sh: np.ndarray
+    untwist: np.ndarray      # [P, N]
+    untwist_sh: np.ndarray
+    mono: np.ndarray         # [log_2n, P, N]
+    mono_sh: np.ndarray
+
+
+@functools.lru_cache(maxsize=None)
+def build_step_tables(n: int, num_primes: int) -> StepTables:
+    plan = get_plan(n, num_primes)
+    log_n = plan.log_n
+    P = num_primes
+
+    def expand(vals_fn, m_of_st):
+        out = np.ones((log_n, P, n), dtype=np.uint64)
+        for st in range(log_n):
+            m = m_of_st(st)
+            h = m // 2
+            for pi in range(P):
+                w_tab = vals_fn(st)[0][pi]       # [h]
+                for j in range(n):
+                    pos = j % m
+                    if pos >= h:
+                        out[st, pi, j] = w_tab[pos - h]
+        return out
+
+    fwd = expand(lambda st: plan.fwd_w[st], lambda st: n >> st)
+    inv = expand(lambda st: plan.inv_w[st], lambda st: 2 << st)
+
+    def sh_of(arr):
+        out = np.empty_like(arr)
+        for pi, p in enumerate(plan.primes):
+            a = arr[..., pi, :].astype(object)
+            out[..., pi, :] = np.array(
+                [[ (int(x) << 32) // p for x in row] for row in np.atleast_2d(a)],
+                dtype=np.uint64).reshape(a.shape)
+        return out
+
+    twist = plan.twist[0]
+    untwist = plan.untwist[0]
+    from ..algorithms.multi_bit import _monomial_pow_tables
+    mono, mono_sh = _monomial_pow_tables(n, num_primes)
+
+    def u32(a):
+        return a.astype(np.uint32)
+
+    return StepTables(
+        twist=u32(twist), twist_sh=u32(plan.twist[1]),
+        fwd=u32(fwd), fwd_sh=u32(sh_of(fwd)),
+        inv=u32(inv), inv_sh=u32(sh_of(inv)),
+        untwist=u32(untwist), untwist_sh=u32(plan.untwist[1]),
+        mono=u32(mono), mono_sh=u32(mono_sh))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel u32 modular primitives
+# ---------------------------------------------------------------------------
+
+
+def _mulhi32(a, b):
+    """High 32 bits of u32 × u32 via 16-bit split (4 multiplies)."""
+    a0 = a & U32(0xFFFF)
+    a1 = a >> U32(16)
+    b0 = b & U32(0xFFFF)
+    b1 = b >> U32(16)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    t = (p00 >> U32(16)) + (p01 & U32(0xFFFF)) + (p10 & U32(0xFFFF))
+    return p11 + (p01 >> U32(16)) + (p10 >> U32(16)) + (t >> U32(16))
+
+
+def _mulmod(a, w, ws, p):
+    """Shoup: a*w mod p; a < 2^32, w < p. 6 multiplies, no division."""
+    q = _mulhi32(a, ws)
+    r = a * w - q * p
+    return jnp.where(r >= p, r - p, r)
+
+
+def _addmod(a, b, p):
+    s = a + b
+    return jnp.where(s >= p, s - p, s)
+
+
+def _submod(a, b, p):
+    return jnp.where(a >= b, a - b, a + p - b)
+
+
+# ---------------------------------------------------------------------------
+# the fused step kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_step_kernel(n: int, num_primes: int, glwe_size: int,
+                      decomp: DecompParams, primes, log_q: int = 64,
+                      interpret: bool = False):
+    if interpret:
+        def roll(v, sh):
+            return jnp.roll(v, sh, axis=1)
+
+        def roll_dyn(v, sh):
+            return jnp.roll(v, sh, axis=1)
+    else:
+        def roll(v, sh):
+            # x64 mode promotes python ints to i64; Mosaic's dynamic_rotate
+            # requires an i32 amount
+            return pltpu.roll(v, jnp.int32(sh % n), 1)
+
+        def roll_dyn(v, sh):   # traced shift (already i32, in [0, n))
+            return pltpu.roll(v, sh, 1)
+
+    log_n = n.bit_length() - 1
+    log_2n = log_n + 1
+    P = num_primes
+    R = glwe_size
+    L = decomp.level
+    J = L * R
+    B_log = decomp.base_log
+    base = 1 << B_log
+    half_base = base >> 1
+    shift = log_q - B_log * L
+    assert shift >= 32, "decomposition must keep >= 32 low bits (all named sets do)"
+    plan = get_plan(n, num_primes)
+    # Garner constants as u32 python ints
+    g_inv = [int(x) for x in plan.garner_inv]
+    g_w = [[int(x) for x in row] for row in plan.garner_weights]
+    prefix = [(int(x) >> 32, int(x) & 0xFFFFFFFF) for x in plan.prefix_mod]
+    m_mod = (plan.M_mod >> 32, plan.M_mod & 0xFFFFFFFF)
+    half_digits = [int(x) for x in plan.half_digits]
+
+    def kernel(a_ref, acc_hi_ref, acc_lo_ref, bsk_ref, bsk_sh_ref,
+               twist_ref, twist_sh_ref, fwd_ref, fwd_sh_ref,
+               inv_ref, inv_sh_ref, untw_ref, untw_sh_ref,
+               mono_ref, mono_sh_ref,
+               out_hi_ref, out_lo_ref):
+        lane = jax.lax.broadcasted_iota(I32, (1, n), 1)
+
+        def vec(x):          # keep per-prime table rows 2D for Mosaic
+            return x.reshape(1, n)
+
+        # ---- 1. decompose the accumulator from (hi, lo) -------------------
+        # digits[l][r]: int32 [Bt, N], level index l has weight q/B^(l+1)
+        digits = [[None] * R for _ in range(L)]
+        for r in range(R):
+            hi = acc_hi_ref[:, r, :]
+            lo = acc_lo_ref[:, r, :]
+            if shift - 1 >= 32:
+                hi_r = hi + U32(1 << (shift - 1 - 32))
+            else:  # shift == 32
+                carry = (lo >= U32(0x80000000)).astype(U32)
+                hi_r = hi + carry
+            s = hi_r >> U32(shift - 32) if shift > 32 else hi_r
+            for li in range(L - 1, -1, -1):   # LSB-first extraction
+                raw = s & U32(base - 1)
+                carry = (raw + U32(half_base)) >> U32(B_log)
+                d = raw.astype(I32) - (carry.astype(I32) << B_log)
+                s = (s >> U32(B_log)) + carry
+                digits[li][r] = d
+
+        # ---- 2. forward NTT of digits, per prime --------------------------
+        # d_hat[p][j] u32 [Bt, N]
+        d_hat = [[None] * J for _ in range(P)]
+        for pi in range(P):
+            p = U32(primes[pi])
+            for li in range(L):
+                for r in range(R):
+                    d = digits[li][r]
+                    v = jnp.where(d < 0, d + primes[pi], d).astype(U32)
+                    v = _mulmod(v, vec(twist_ref[pi, :]), vec(twist_sh_ref[pi, :]), p)
+
+                    def fwd_stage(st, v, pi=pi, p=p):
+                        m = jnp.int32(n) >> st
+                        h = m >> 1
+                        is_lo = (lane & (m - 1)) < h
+                        part_m = roll_dyn(v, jnp.int32(n) - h)   # v[j+h]
+                        part_p = roll_dyn(v, h)                  # v[j-h]
+                        lo_new = _addmod(v, part_m, p)
+                        hi_new = _mulmod(_submod(part_p, v, p),
+                                         vec(fwd_ref[st, pi, :]),
+                                         vec(fwd_sh_ref[st, pi, :]), p)
+                        return jnp.where(is_lo, lo_new, hi_new)
+
+                    v = jax.lax.fori_loop(0, log_n, fwd_stage, v)
+                    d_hat[pi][li * R + r] = v
+
+        # ---- 3. monomial phase X^ã per prime ------------------------------
+        a_val = a_ref[:, :1]                       # [Bt, 1] int32
+        wpow = []
+        for pi in range(P):
+            p = U32(primes[pi])
+            acc_w = jnp.ones(d_hat[pi][0].shape, dtype=U32)
+            for b in range(log_2n):
+                bit = ((a_val >> b) & 1) != 0      # [Bt, 1] → broadcast
+                mult = _mulmod(acc_w, vec(mono_ref[b, pi, :]),
+                               vec(mono_sh_ref[b, pi, :]), p)
+                acc_w = jnp.where(bit, mult, acc_w)
+            wpow.append(acc_w)
+
+        # ---- 4. MAC against the paired BSK --------------------------------
+        # spec[p][r] = Σ_j d_hat·bsk0[p,j,r] + (d_hat·X^ã)·bsk1[p,j,r]
+        spec = [[None] * R for _ in range(P)]
+        for pi in range(P):
+            p = U32(primes[pi])
+            # phase·spectrum has two dynamic operands (no precomputed Shoup):
+            # use the generic double-width reduction
+            d_rot = [_mulmod_generic(d_hat[pi][j], wpow[pi], p, primes[pi])
+                     for j in range(J)]
+            for r in range(R):
+                acc_s = None
+                for j in range(J):
+                    t0 = _mulmod(d_hat[pi][j], vec(bsk_ref[0, pi, j, r, :]),
+                                 vec(bsk_sh_ref[0, pi, j, r, :]), p)
+                    t1 = _mulmod(d_rot[j], vec(bsk_ref[1, pi, j, r, :]),
+                                 vec(bsk_sh_ref[1, pi, j, r, :]), p)
+                    t = _addmod(t0, t1, p)
+                    acc_s = t if acc_s is None else _addmod(acc_s, t, p)
+                spec[pi][r] = acc_s
+
+        # ---- 5. inverse NTT + untwist -------------------------------------
+        res = [[None] * R for _ in range(P)]
+        for pi in range(P):
+            p = U32(primes[pi])
+            for r in range(R):
+                v = spec[pi][r]
+
+                def inv_stage(st, v, pi=pi, p=p):
+                    m = jnp.int32(2) << st
+                    h = m >> 1
+                    is_lo = (lane & (m - 1)) < h
+                    vw = _mulmod(v, vec(inv_ref[st, pi, :]),
+                                 vec(inv_sh_ref[st, pi, :]), p)
+                    part_m = roll_dyn(vw, jnp.int32(n) - h)
+                    part_p = roll_dyn(vw, h)
+                    lo_new = _addmod(vw, part_m, p)
+                    hi_new = _submod(part_p, vw, p)
+                    return jnp.where(is_lo, lo_new, hi_new)
+
+                v = jax.lax.fori_loop(0, log_n, inv_stage, v)
+                res[pi][r] = _mulmod(v, vec(untw_ref[pi, :]),
+                                     vec(untw_sh_ref[pi, :]), p)
+
+        # ---- 6. Garner CRT → (hi, lo), signed lift, write -----------------
+        for r in range(R):
+            t = [res[0][r]]
+            for i in range(1, P):
+                pi_p = primes[i]
+                p = U32(pi_p)
+                acc_g = None
+                for jj in range(i):
+                    term = _mulmod(t[jj], U32(g_w[i][jj]),
+                                   U32(shoup_int(g_w[i][jj], pi_p)), p)
+                    acc_g = term if acc_g is None else _addmod(acc_g, term, p)
+                diff = _submod(res[i][r], acc_g, p)
+                t.append(_mulmod(diff, U32(g_inv[i]),
+                                 U32(shoup_int(g_inv[i], pi_p)), p))
+            c_lo = jnp.zeros_like(t[0])
+            c_hi = jnp.zeros_like(t[0])
+            for i in range(P):
+                phi, plo = U32(prefix[i][0]), U32(prefix[i][1])
+                lo_t = t[i] * plo
+                hi_t = _mulhi32(t[i], plo) + t[i] * phi
+                c_lo = c_lo + lo_t
+                carry = (c_lo < lo_t).astype(U32)
+                c_hi = c_hi + hi_t + carry
+            # signed lift: subtract M where mixed-radix value >= M/2
+            ge = jnp.zeros(t[0].shape, dtype=jnp.bool_)
+            eq = jnp.ones(t[0].shape, dtype=jnp.bool_)
+            for i in range(P - 1, -1, -1):
+                h = U32(half_digits[i])
+                ge = ge | (eq & (t[i] > h))
+                eq = eq & (t[i] == h)
+            m_hi, m_lo = U32(m_mod[0]), U32(m_mod[1])
+            borrow = (c_lo < m_lo).astype(U32)
+            sub_lo = c_lo - m_lo
+            sub_hi = c_hi - m_hi - borrow
+            sel = ge | eq
+            out_lo_ref[:, r, :] = jnp.where(sel, sub_lo, c_lo)
+            out_hi_ref[:, r, :] = jnp.where(sel, sub_hi, c_hi)
+
+    return kernel
+
+
+def _mulmod_generic(a, b, p_u32, p_int: int):
+    """a*b mod p for two dynamic u32 operands (no precomputed Shoup):
+    Montgomery-free double-width reduction via 16-bit limbs.
+
+    a·b = hi·2^32 + lo; result = (hi·(2^32 mod p) + lo) mod p, applied twice
+    to bring hi under control.  All values < p < 2^31."""
+    hi = _mulhi32(a, b)
+    lo = a * b
+    r32 = (1 << 32) % p_int
+    r32_sh = shoup_int(r32, p_int)
+    # hi < p < 2^31; hi·r32 mod p via Shoup with constant r32
+    part = _mulmod(hi, U32(r32), U32(r32_sh), p_u32)
+    # lo mod p: lo < 2^32 < 2p·something — reduce by conditional subtractions
+    lo_red = lo
+    # lo < 2^32, primes are > 2^30.7 → at most 3 subtractions
+    for _ in range(3):
+        lo_red = jnp.where(lo_red >= p_u32, lo_red - p_u32, lo_red)
+    return _addmod(part, lo_red, p_u32)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def blind_rotate_step_pallas(a_j, acc_hi, acc_lo, bsk_j, bsk_sh_j,
+                             decomp: DecompParams, *, n: int, num_primes: int,
+                             glwe_size: int, block_b: int = 8,
+                             interpret: bool = False, log_q: int = 64):
+    """One fused blind-rotation step over the whole batch.
+
+    a_j [B] int32, acc_hi/lo [B, R, N] u32, bsk_j/bsk_sh_j [2, P, J, R, N] u32
+    → new (acc_hi, acc_lo)."""
+    plan = get_plan(n, num_primes)
+    primes = [int(p) for p in plan.primes]
+    assert all(p > (1 << 30) for p in primes), "kernel assumes 31-bit primes"
+    t = build_step_tables(n, num_primes)
+    B = acc_hi.shape[0]
+    bt = min(block_b, B)
+    assert B % bt == 0, f"batch {B} must be a multiple of the tile {bt}" 
+    R = glwe_size
+    kernel = _make_step_kernel(n, num_primes, glwe_size, decomp, primes,
+                               log_q, interpret=interpret)
+
+    grid = (B // bt,)
+    vm = pltpu.VMEM
+
+    # BlockSpecs: batch-tiled operands index by i; broadcast operands pin 0.
+    # (index-map constants must be i32 — x64 mode would promote literal 0s
+    # to i64, which Mosaic rejects)
+    zero = np.int32(0)
+
+    def bcast(shape):
+        return pl.BlockSpec(shape, lambda i, _z=zero, _r=len(shape):
+                            (_z,) * _r, memory_space=vm)
+
+    in_specs = [
+        pl.BlockSpec((bt, 1), lambda i: (i, zero), memory_space=vm),        # a
+        pl.BlockSpec((bt, R, n), lambda i: (i, zero, zero), memory_space=vm),  # hi
+        pl.BlockSpec((bt, R, n), lambda i: (i, zero, zero), memory_space=vm),  # lo
+        bcast(bsk_j.shape),
+        bcast(bsk_sh_j.shape),
+        bcast(t.twist.shape), bcast(t.twist_sh.shape),
+        bcast(t.fwd.shape), bcast(t.fwd_sh.shape),
+        bcast(t.inv.shape), bcast(t.inv_sh.shape),
+        bcast(t.untwist.shape), bcast(t.untwist_sh.shape),
+        bcast(t.mono.shape), bcast(t.mono_sh.shape),
+    ]
+    out_specs = (
+        pl.BlockSpec((bt, R, n), lambda i: (i, zero, zero), memory_space=vm),
+        pl.BlockSpec((bt, R, n), lambda i: (i, zero, zero), memory_space=vm),
+    )
+    out_shape = (jax.ShapeDtypeStruct(acc_hi.shape, jnp.uint32),
+                 jax.ShapeDtypeStruct(acc_lo.shape, jnp.uint32))
+    return pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )(a_j[:, None].astype(jnp.int32), acc_hi, acc_lo, bsk_j, bsk_sh_j,
+      jnp.asarray(t.twist), jnp.asarray(t.twist_sh),
+      jnp.asarray(t.fwd), jnp.asarray(t.fwd_sh),
+      jnp.asarray(t.inv), jnp.asarray(t.inv_sh),
+      jnp.asarray(t.untwist), jnp.asarray(t.untwist_sh),
+      jnp.asarray(t.mono), jnp.asarray(t.mono_sh))
+
+
+def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
+                        decomp: DecompParams, log_q: int = 64,
+                        block_b: int = 8, interpret: bool = False):
+    """Full blind rotation with the fused step kernel.
+
+    lut_data [R, N] u64 torus; lwe_data [B, n_in+1] u64;
+    paired_u32 [n_in, 2, P, J, R, N] u32 (+ shoup twin).
+    Returns the rotated accumulator [B, R, N] u64."""
+    from ..algorithms.bootstrap import modulus_switch
+    from . import monomial_mul
+
+    n_in = paired_u32.shape[0]
+    num_primes = paired_u32.shape[2]
+    glwe_size = paired_u32.shape[4]
+    n = paired_u32.shape[-1]
+    batch = lwe_data.shape[:-1]
+
+    # pad the batch to a multiple of the kernel tile
+    bt = min(block_b, max(int(np.prod(batch)), 1))
+    flat_b = int(np.prod(batch)) if batch else 1
+    pad = (-flat_b) % max(bt, 1)
+    if pad:
+        lwe_data = jnp.concatenate(
+            [lwe_data.reshape(flat_b, -1),
+             jnp.zeros((pad, lwe_data.shape[-1]), lwe_data.dtype)], axis=0)
+    else:
+        lwe_data = lwe_data.reshape(max(flat_b, 1), -1)
+
+    switched = modulus_switch(lwe_data, log_q, n)
+    a_sw, b_sw = switched[..., :-1], switched[..., -1]
+    acc = monomial_mul(
+        jnp.broadcast_to(lut_data, b_sw.shape + lut_data.shape[-2:]),
+        (2 * n - b_sw)[..., None])
+    acc_hi = (acc >> jnp.uint64(32)).astype(jnp.uint32)
+    acc_lo = acc.astype(jnp.uint32)
+
+    def step(j, carry):
+        hi, lo = carry
+        aj = a_sw[..., j]
+        bsk_j = jax.lax.dynamic_index_in_dim(paired_u32, j, 0, keepdims=False)
+        sh_j = jax.lax.dynamic_index_in_dim(paired_sh_u32, j, 0, keepdims=False)
+        return blind_rotate_step_pallas(
+            aj, hi, lo, bsk_j, sh_j, decomp, n=n, num_primes=num_primes,
+            glwe_size=glwe_size, block_b=block_b, interpret=interpret,
+            log_q=log_q)
+
+    acc_hi, acc_lo = jax.lax.fori_loop(0, n_in, step, (acc_hi, acc_lo))
+    out = (acc_hi.astype(jnp.uint64) << jnp.uint64(32)) | acc_lo.astype(jnp.uint64)
+    out = out[:flat_b] if pad else out
+    return out.reshape(batch + out.shape[-2:])

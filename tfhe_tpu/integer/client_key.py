@@ -58,7 +58,7 @@ class RadixClientKey:
             total = d * weight if total is None else total + d * weight
             weight *= m
         mod = m ** ct.num_blocks
-        total = total % mod
+        total = np.asarray(total % mod, dtype=object)  # 0-d batches decay to int
         return total.astype(np.uint64) if mod <= (1 << 64) else total
 
     def decrypt_signed(self, ct: SignedRadixCiphertext):

@@ -499,6 +499,69 @@ class ServerKey:
     max_parallelized = max
 
     # ------------------------------------------------------------------
+    # division (restoring long division, reference radix_parallel div_mod)
+    # ------------------------------------------------------------------
+
+    def _extract_bits(self, a: RadixCiphertext):
+        """All bits of `a`, LSB first, as degree-1 blocks — one batched PBS
+        per bit position within a block (bits_per_block LUT sweeps)."""
+        a = self._maybe_propagate(a)
+        bits_pb = int(math.log2(self.msg_mod))
+        out = []
+        for bit in range(bits_pb):
+            lut = self.key.generate_lookup_table(lambda x, b=bit: (x >> b) & 1)
+            out.append(self._apply_lut_same(a.blocks, lut))
+        # interleave: bit index i of the value = out[i % bits_pb][i // bits_pb]
+        total = a.num_blocks * bits_pb
+        return [out[i % bits_pb][i // bits_pb] for i in range(total)]
+
+    def div_rem(self, a: RadixCiphertext, b: RadixCiphertext):
+        """(quotient, remainder); x/0 follows the reference convention of
+        returning all-ones quotient and x as remainder is NOT emulated —
+        division by an encrypted zero yields quotient with every ge-test
+        false (quotient 0, remainder a), matching restoring division."""
+        a, b = self._maybe_propagate(a), self._maybe_propagate(b)
+        nb = a.num_blocks
+        bits_pb = int(math.log2(self.msg_mod))
+        total_bits = nb * bits_pb
+        bits = self._extract_bits(a)              # LSB first
+
+        rem = self.create_trivial_zero_radix(nb, a.batch_shape)
+        q_bits = [None] * total_bits
+        for i in range(total_bits - 1, -1, -1):
+            # rem = (rem << 1) | bit_i
+            rem = self.scalar_left_shift(rem, 1)
+            rem = type(rem)(blocks=[self.key.unchecked_add(rem.blocks[0], bits[i])]
+                            + rem.blocks[1:])
+            rem = self._maybe_propagate(rem)
+            ge = self.ge(rem, b)
+            rem_minus = self.sub(rem, b)
+            rem = self.cmux(ge, rem_minus, rem)
+            q_bits[i] = ge.block
+        # assemble quotient from bits
+        q_blocks = []
+        for blk in range(nb):
+            acc = None
+            for j in range(bits_pb):
+                bit_blk = q_bits[blk * bits_pb + j]
+                term = (self.key.unchecked_scalar_mul(bit_blk, 1 << j)
+                        if j else bit_blk)
+                acc = term if acc is None else self.key.unchecked_add(acc, term)
+            q_blocks.append(acc)
+        quotient = self.full_propagate(RadixCiphertext(blocks=q_blocks))
+        return quotient, rem
+
+    def div(self, a, b):
+        return self.div_rem(a, b)[0]
+
+    def rem(self, a, b):
+        return self.div_rem(a, b)[1]
+
+    div_parallelized = div
+    rem_parallelized = rem
+    div_rem_parallelized = div_rem
+
+    # ------------------------------------------------------------------
     # shifts by a clear amount
     # ------------------------------------------------------------------
 

@@ -360,3 +360,40 @@ def gen_server_key(ck: ClientKey, key) -> ServerKey:
     ksk = generate_keyswitch_key(k_ksk, ck.big_sk, ck.lwe_sk, p.ks_decomp,
                                  p.lwe_noise_std, LOG_Q)
     return ServerKey(ksk=ksk, bsk=bsk, params=p)
+
+
+@struct.dataclass
+class CompressedServerKey:
+    """Seed + bodies only (reference shortint CompressedServerKey,
+    shortint/ciphertext/mod.rs:471-494): masks regenerate on decompression."""
+
+    seeded_bsk: Any
+    seeded_ksk: Any
+    params: Any = struct.field(pytree_node=False, default=None)
+
+    def decompress(self) -> "ServerKey":
+        from ..core.algorithms.seeded import (decompress_bootstrap_key,
+                                              decompress_keyswitch_key)
+        p = self.params
+        bsk_std = decompress_bootstrap_key(self.seeded_bsk)
+        npr = external_product_num_primes(p.polynomial_size, p.glwe_size,
+                                          p.pbs_decomp, LOG_Q)
+        bsk = bootstrap_key_to_ntt(bsk_std, LOG_Q, npr)
+        ksk = decompress_keyswitch_key(self.seeded_ksk)
+        return ServerKey(ksk=ksk, bsk=bsk, params=p)
+
+
+def gen_compressed_server_key(ck: ClientKey, seed: int = 0) -> CompressedServerKey:
+    """Compressed twin of gen_server_key: (k+1)x smaller BSK, (n+1)x smaller
+    KSK on the wire."""
+    from ..core.algorithms.seeded import (generate_seeded_bootstrap_key,
+                                          generate_seeded_keyswitch_key)
+    p = ck.params
+    _, seeded_bsk = generate_seeded_bootstrap_key(
+        seed * 2 + 1, ck.lwe_sk, ck.glwe_sk, p.pbs_decomp,
+        p.glwe_noise_std, LOG_Q)
+    _, seeded_ksk = generate_seeded_keyswitch_key(
+        seed * 2 + 2, ck.big_sk, ck.lwe_sk, p.ks_decomp,
+        p.lwe_noise_std, LOG_Q)
+    return CompressedServerKey(seeded_bsk=seeded_bsk, seeded_ksk=seeded_ksk,
+                               params=p)
