@@ -77,3 +77,15 @@ def test_deep_circuit(bkeys, rs):
         clear = np.asarray(g_clear(clear, other_clear)).astype(bool)
         np.testing.assert_array_equal(np.asarray(B.decrypt(ck, ct)), clear,
                                       err_msg=f"step {i}")
+
+
+def test_boolean_key_switching(bkeys):
+    """Cast a ciphertext from one boolean key set to another."""
+    ck1, sk1 = bkeys
+    ck2, sk2 = B.gen_keys(TEST_PARAMS_BOOLEAN, seed=171)
+    bksk = B.gen_key_switching_key(ck1, ck2, seed=172)
+    ct = B.encrypt(ck1, A, seed=173)
+    cast = bksk.cast(ct)
+    np.testing.assert_array_equal(np.asarray(B.decrypt(ck2, cast)), np.asarray(A))
+    out = B.and_(sk2, cast, B.encrypt(ck2, Bv, seed=174))
+    np.testing.assert_array_equal(np.asarray(B.decrypt(ck2, out)), np.asarray(A & Bv))

@@ -89,3 +89,27 @@ def test_trivial_encrypt(hkeys):
     ck, _ = hkeys
     x = hlapi.FheUint8.encrypt_trivial(jnp.asarray(A), ck)
     np.testing.assert_array_equal(x.decrypt(ck), A)
+
+
+def test_div_mod_and_shift(hkeys):
+    ck, _ = hkeys
+    a = np.array([12, 9])
+    b = np.array([5, 2])
+    x = hlapi.FheUint4.encrypt(jnp.asarray(a), ck, seed=20)
+    y = hlapi.FheUint4.encrypt(jnp.asarray(b), ck, seed=21)
+    np.testing.assert_array_equal((x // y).decrypt(ck), a // b)
+    np.testing.assert_array_equal((x % y).decrypt(ck), a % b)
+    s = hlapi.FheUint4.encrypt(jnp.asarray([1, 2]), ck, seed=22)
+    np.testing.assert_array_equal((x << s).decrypt(ck), (a << np.array([1, 2])) % 16)
+
+
+def test_fheint_signed(hkeys):
+    ck, _ = hkeys
+    a = np.array([-100, 5, -1])
+    b = np.array([3, -7, -1])
+    x = hlapi.FheInt8.encrypt(jnp.asarray(a), ck, seed=23)
+    y = hlapi.FheInt8.encrypt(jnp.asarray(b), ck, seed=24)
+    np.testing.assert_array_equal((x + y).decrypt(ck), a + b)
+    np.testing.assert_array_equal(x.lt(y).decrypt(ck), a < b)
+    np.testing.assert_array_equal(x.ge(y).decrypt(ck), a >= b)
+    np.testing.assert_array_equal(y.abs().decrypt(ck), np.abs(b))

@@ -1,0 +1,66 @@
+"""Signed comparisons, abs, overflow flags, encrypted-amount shifts
+(the analogue of integer radix_parallel tests_signed / shift tests)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tfhe_tpu import integer
+from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT
+
+NB = 2  # 4-bit values: signed range [-8, 8)
+
+
+@pytest.fixture(scope="module")
+def skeys():
+    return integer.gen_keys(TEST_PARAMS_SHORTINT, num_blocks=NB, seed=95)
+
+
+A = np.array([-8, -3, 0, 5, 7])
+B = np.array([-4, 2, -1, 5, -7])
+
+
+def test_signed_comparisons(skeys):
+    ck, sk = skeys
+    ca = ck.encrypt_signed(jnp.asarray(A), seed=1)
+    cb = ck.encrypt_signed(jnp.asarray(B), seed=2)
+    for fn, op in [(sk.lt_signed, np.less), (sk.le_signed, np.less_equal),
+                   (sk.gt_signed, np.greater), (sk.ge_signed, np.greater_equal)]:
+        got = np.asarray(ck.key.decrypt(fn(ca, cb).block))
+        np.testing.assert_array_equal(got, op(A, B).astype(np.uint64),
+                                      err_msg=fn.__name__)
+
+
+def test_signed_min_max_abs(skeys):
+    ck, sk = skeys
+    ca = ck.encrypt_signed(jnp.asarray(A), seed=3)
+    cb = ck.encrypt_signed(jnp.asarray(B), seed=4)
+    mn = integer.SignedRadixCiphertext(blocks=sk.min_signed(ca, cb).blocks)
+    mx = integer.SignedRadixCiphertext(blocks=sk.max_signed(ca, cb).blocks)
+    np.testing.assert_array_equal(ck.decrypt_signed(mn), np.minimum(A, B))
+    np.testing.assert_array_equal(ck.decrypt_signed(mx), np.maximum(A, B))
+    ab = integer.SignedRadixCiphertext(blocks=sk.abs_signed(ca).blocks)
+    # -8 stays -8 in 4-bit two's complement
+    expect = np.where(A == -8, -8, np.abs(A))
+    np.testing.assert_array_equal(ck.decrypt_signed(ab), expect)
+
+
+def test_overflowing_add(skeys):
+    ck, sk = skeys
+    a = np.array([15, 7, 8])
+    b = np.array([1, 7, 9])
+    ca, cb = ck.encrypt(jnp.asarray(a), seed=5), ck.encrypt(jnp.asarray(b), seed=6)
+    s, ov = sk.unsigned_overflowing_add(ca, cb)
+    np.testing.assert_array_equal(ck.decrypt(s), (a + b) % 16)
+    np.testing.assert_array_equal(np.asarray(ck.key.decrypt(ov.block)),
+                                  ((a + b) >= 16).astype(np.uint64))
+
+
+def test_encrypted_shift(skeys):
+    ck, sk = skeys
+    a = np.array([9, 12, 3])
+    amt = np.array([1, 2, 0])
+    ca = ck.encrypt(jnp.asarray(a), seed=7)
+    cs = ck.encrypt(jnp.asarray(amt), seed=8)
+    np.testing.assert_array_equal(ck.decrypt(sk.left_shift(ca, cs)),
+                                  (a << amt) % 16)
+    np.testing.assert_array_equal(ck.decrypt(sk.right_shift(ca, cs)), a >> amt)

@@ -266,3 +266,27 @@ def encrypt_with_public_key(pk: PublicKey, messages, seed: int = 0) -> BoolCiphe
     key = rng.fork(rng.key_from_seed(seed), 0xB0C)
     ct = encrypt_lwe_with_public_key(key, pk.pk, pts)
     return BoolCiphertext(lwe=ct)
+
+
+# ---------------------------------------------------------------------------
+# casting between boolean key sets (reference boolean/key_switching_key/)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class BooleanKeySwitchingKey:
+    ksk: LweKeyswitchKey
+    dest_params: BooleanParameters = struct.field(pytree_node=False)
+
+    def cast(self, ct: BoolCiphertext) -> BoolCiphertext:
+        return BoolCiphertext(lwe=keyswitch_lwe(ct.lwe, self.ksk, LOG_Q))
+
+
+def gen_key_switching_key(ck1: ClientKey, ck2: ClientKey, ks_base_log: int = 2,
+                          ks_level: int = 8, seed: int = 0) -> BooleanKeySwitchingKey:
+    from ..core.params import DecompParams
+    key = rng.fork(rng.key_from_seed(seed), 0xB5C)
+    ksk = generate_keyswitch_key(key, ck1.encryption_key, ck2.encryption_key,
+                                 DecompParams(ks_base_log, ks_level),
+                                 _fresh_noise_std(ck2.params), LOG_Q)
+    return BooleanKeySwitchingKey(ksk=ksk, dest_params=ck2.params)

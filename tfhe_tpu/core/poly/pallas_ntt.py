@@ -237,7 +237,7 @@ def _make_step_kernel(n: int, num_primes: int, glwe_size: int,
                                          vec(fwd_sh_ref[st, pi, :]), p)
                         return jnp.where(is_lo, lo_new, hi_new)
 
-                    v = jax.lax.fori_loop(0, log_n, fwd_stage, v)
+                    v = jax.lax.fori_loop(jnp.int32(0), jnp.int32(log_n), fwd_stage, v)
                     d_hat[pi][li * R + r] = v
 
         # ---- 3. monomial phase X^ã per prime ------------------------------
@@ -292,7 +292,7 @@ def _make_step_kernel(n: int, num_primes: int, glwe_size: int,
                     hi_new = _submod(part_p, vw, p)
                     return jnp.where(is_lo, lo_new, hi_new)
 
-                v = jax.lax.fori_loop(0, log_n, inv_stage, v)
+                v = jax.lax.fori_loop(jnp.int32(0), jnp.int32(log_n), inv_stage, v)
                 res[pi][r] = _mulmod(v, vec(untw_ref[pi, :]),
                                      vec(untw_sh_ref[pi, :]), p)
 

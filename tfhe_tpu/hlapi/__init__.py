@@ -172,11 +172,29 @@ class _FheUintBase:
     def __invert__(self):
         return self._wrap(_sk().bitnot(self.ct))
 
-    def __lshift__(self, shift: int):
+    def __lshift__(self, shift):
+        if isinstance(shift, _FheUintBase):
+            return self._wrap(_sk().left_shift(self.ct, shift.ct))
         return self._wrap(_sk().scalar_left_shift(self.ct, int(shift)))
 
-    def __rshift__(self, shift: int):
+    def __rshift__(self, shift):
+        if isinstance(shift, _FheUintBase):
+            return self._wrap(_sk().right_shift(self.ct, shift.ct))
         return self._wrap(_sk().scalar_right_shift(self.ct, int(shift)))
+
+    def __floordiv__(self, other):
+        return self._wrap(_sk().div(self.ct, other.ct))
+
+    def __truediv__(self, other):
+        return self.__floordiv__(other)
+
+    def __mod__(self, other):
+        return self._wrap(_sk().rem(self.ct, other.ct))
+
+    def abs(self):
+        if not self.SIGNED:
+            return self
+        return self._wrap(_sk().abs_signed(self.ct))
 
     # comparisons return FheBool
     def eq(self, other):
@@ -189,22 +207,26 @@ class _FheUintBase:
 
     def lt(self, other):
         if isinstance(other, _FheUintBase):
-            return FheBool(_sk().lt(self.ct, other.ct))
+            fn = _sk().lt_signed if self.SIGNED else _sk().lt
+            return FheBool(fn(self.ct, other.ct))
         return FheBool(_sk().scalar_lt(self.ct, int(other)))
 
     def le(self, other):
         if isinstance(other, _FheUintBase):
-            return FheBool(_sk().le(self.ct, other.ct))
+            fn = _sk().le_signed if self.SIGNED else _sk().le
+            return FheBool(fn(self.ct, other.ct))
         return FheBool(_sk().scalar_le(self.ct, int(other)))
 
     def gt(self, other):
         if isinstance(other, _FheUintBase):
-            return FheBool(_sk().gt(self.ct, other.ct))
+            fn = _sk().gt_signed if self.SIGNED else _sk().gt
+            return FheBool(fn(self.ct, other.ct))
         return FheBool(_sk().scalar_gt(self.ct, int(other)))
 
     def ge(self, other):
         if isinstance(other, _FheUintBase):
-            return FheBool(_sk().ge(self.ct, other.ct))
+            fn = _sk().ge_signed if self.SIGNED else _sk().ge
+            return FheBool(fn(self.ct, other.ct))
         return FheBool(_sk().scalar_ge(self.ct, int(other)))
 
     __eq__ = eq

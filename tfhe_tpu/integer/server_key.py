@@ -499,6 +499,123 @@ class ServerKey:
     max_parallelized = max
 
     # ------------------------------------------------------------------
+    # signed comparisons / abs / overflow (reference tests_signed &
+    # radix_parallel overflowing ops)
+    # ------------------------------------------------------------------
+
+    def _flip_sign_bit(self, a: RadixCiphertext) -> RadixCiphertext:
+        """XOR the two's-complement sign bit (top bit of the top block):
+        maps signed order onto unsigned order."""
+        a = self._maybe_propagate(a)
+        m = self.msg_mod
+        lut = self.key.generate_lookup_table(lambda x: (x % m) ^ (m // 2))
+        top = self.key.apply_lookup_table(a.blocks[-1], lut)
+        return type(a)(blocks=a.blocks[:-1] + [top])
+
+    def _signed_cmp(self, fn, a, b):
+        return fn(self._flip_sign_bit(a), self._flip_sign_bit(b))
+
+    def lt_signed(self, a, b):
+        return self._signed_cmp(self.lt, a, b)
+
+    def le_signed(self, a, b):
+        return self._signed_cmp(self.le, a, b)
+
+    def gt_signed(self, a, b):
+        return self._signed_cmp(self.gt, a, b)
+
+    def ge_signed(self, a, b):
+        return self._signed_cmp(self.ge, a, b)
+
+    def min_signed(self, a, b):
+        return self.cmux(self.le_signed(a, b), a, b)
+
+    def max_signed(self, a, b):
+        return self.cmux(self.ge_signed(a, b), a, b)
+
+    def abs_signed(self, a: RadixCiphertext) -> RadixCiphertext:
+        """|a| for two's complement (reference abs_parallelized)."""
+        zero = self.create_trivial_zero_radix(a.num_blocks, a.batch_shape)
+        neg = self.neg(a)
+        is_neg = self.lt_signed(a, zero)
+        return self.cmux(is_neg, neg, a)
+
+    abs_parallelized = abs_signed
+
+    def unsigned_overflowing_add(self, a: RadixCiphertext, b: RadixCiphertext):
+        """(sum mod 2^bits, overflow BooleanBlock) — reference
+        unsigned_overflowing_add_parallelized."""
+        a, b = self._maybe_propagate(a), self._maybe_propagate(b)
+        s = self.unchecked_add(a, b)
+        m = self.msg_mod
+        lut_msg = self.key.generate_lookup_table(lambda x: x % m)
+        lut_carry = self.key.generate_lookup_table(lambda x: x // m)
+        out, carry = [], None
+        for blk in s.blocks:
+            if carry is not None:
+                blk = self.key.unchecked_add(blk, carry)
+            msg, carry = self._apply_luts_stacked([blk, blk], [lut_msg, lut_carry])
+            carry = carry.with_(degree=1)
+            out.append(msg)
+        return type(a)(blocks=out), BooleanBlock(block=carry)
+
+    def unsigned_overflowing_sub(self, a: RadixCiphertext, b: RadixCiphertext):
+        """(a - b mod 2^bits, borrow flag: 1 when a < b)."""
+        diff = self.sub(a, b)
+        return diff, self.lt(a, b)
+
+    # ------------------------------------------------------------------
+    # shifts by an encrypted amount (reference radix_parallel shift.rs):
+    # a mux ladder over the amount's bits
+    # ------------------------------------------------------------------
+
+    def _amount_bits(self, amount: RadixCiphertext, n_needed: int):
+        bits_pb = int(math.log2(self.msg_mod))
+        amount = self._maybe_propagate(amount)
+        luts = []
+        for i in range(n_needed):
+            blk = i // bits_pb
+            bit = i % bits_pb
+            luts.append((blk, self.key.generate_lookup_table(
+                lambda x, b=bit: (x >> b) & 1)))
+        blocks = [amount.blocks[blk] if blk < amount.num_blocks else None
+                  for blk, _ in luts]
+        outs = []
+        for (blk, lut), src in zip(luts, blocks):
+            if src is None:
+                outs.append(None)
+            else:
+                outs.append(self.key.apply_lookup_table(src, lut))
+        return outs
+
+    def left_shift(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
+        total_bits = a.num_blocks * int(math.log2(self.msg_mod))
+        n_sel = max(1, int(math.ceil(math.log2(total_bits))))
+        bits = self._amount_bits(amount, n_sel)
+        out = self._maybe_propagate(a)
+        for i, bit in enumerate(bits):
+            if bit is None:
+                continue
+            shifted = self.scalar_left_shift(out, 1 << i)
+            out = self.cmux(BooleanBlock(block=bit), shifted, out)
+        return out
+
+    def right_shift(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
+        total_bits = a.num_blocks * int(math.log2(self.msg_mod))
+        n_sel = max(1, int(math.ceil(math.log2(total_bits))))
+        bits = self._amount_bits(amount, n_sel)
+        out = self._maybe_propagate(a)
+        for i, bit in enumerate(bits):
+            if bit is None:
+                continue
+            shifted = self.scalar_right_shift(out, 1 << i)
+            out = self.cmux(BooleanBlock(block=bit), shifted, out)
+        return out
+
+    left_shift_parallelized = left_shift
+    right_shift_parallelized = right_shift
+
+    # ------------------------------------------------------------------
     # division (restoring long division, reference radix_parallel div_mod)
     # ------------------------------------------------------------------
 
