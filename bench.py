@@ -52,15 +52,28 @@ def main():
     lut_dev = jax.device_put(lut, dev)
     ct_dev = jax.device_put(ct.lwe.data, dev)
 
-    @jax.jit
-    def pbs_batch(data, sk, lut):
-        c = ct.with_(lwe=type(ct.lwe)(data=data))
-        return sk.apply_lookup_table(c, lut).lwe.data
+    def make_pbs():
+        @jax.jit
+        def pbs_batch(data, sk, lut):
+            c = ct.with_(lwe=type(ct.lwe)(data=data))
+            return sk.apply_lookup_table(c, lut).lwe.data
+        return pbs_batch
+
+    pbs_batch = make_pbs()
 
     t0 = time.time()
-    out = pbs_batch(ct_dev, sk_dev, lut_dev)
-    np.asarray(out)  # host materialization: block_until_ready does not truly
-    # block through the axon remote-execution tunnel
+    try:
+        out = pbs_batch(ct_dev, sk_dev, lut_dev)
+        np.asarray(out)  # host materialization: block_until_ready does not
+        # truly block through the axon remote-execution tunnel
+    except Exception as e:  # pallas kernel unavailable: fall back to XLA path
+        print(f"# pallas path failed ({type(e).__name__}); XLA fallback",
+              file=sys.stderr)
+        from tfhe_tpu import config as tconfig
+        tconfig.set_use_pallas_pbs(False)
+        pbs_batch = make_pbs()
+        out = pbs_batch(ct_dev, sk_dev, lut_dev)
+        np.asarray(out)
     print(f"# first call (compile+run): {time.time() - t0:.1f}s", file=sys.stderr)
 
     # measure device->host transfer time to subtract it from the loop timing
