@@ -32,8 +32,12 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--test-params", action="store_true",
                     help="use the tiny insecure test set (CI smoke)")
+    ap.add_argument("--multibit", action="store_true",
+                    help="bench PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_KS_PBS")
     args = ap.parse_args()
 
+    if args.multibit:
+        args.params = "PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_2_KS_PBS"
     params = TEST_PARAMS_SHORTINT if args.test_params else shortint_params(args.params)
 
     cpu = jax.local_devices(backend="cpu")[0]

@@ -84,3 +84,40 @@ def test_pallas_odd_batch_padding(pkeys):
     dec = np.asarray((decrypt_lwe(out, pkeys["big_sk"], 64)
                       + (DELTA >> np.uint64(1))) // DELTA) % 16
     np.testing.assert_array_equal(dec, [1, 5, 9])
+
+
+def test_pallas_multibit_matches_xla():
+    """Fused multibit kernel (g=2) vs the XLA multibit path, interpret mode."""
+    import dataclasses
+    from tfhe_tpu import shortint
+    from tfhe_tpu.core.params import MultiBitPBSParameters
+    from tfhe_tpu.core.poly.pallas_ntt import multi_bit_blind_rotate_pallas
+
+    params = MultiBitPBSParameters(
+        name="TEST_MB", grouping_factor=2,
+        **{f.name: getattr(P, f.name)
+           for f in dataclasses.fields(P) if f.name not in ("name", "ciphertext_modulus")})
+    ck, sk = shortint.gen_keys(params, seed=101)
+    M = params.message_modulus
+    msgs = jnp.arange(M, dtype=jnp.uint64)
+    ct = ck.encrypt(msgs, seed=102)
+    lut = sk.generate_lookup_table(lambda x: (x + 2) % M)
+
+    # XLA path result
+    from tfhe_tpu import config as tconfig
+    tconfig.set_use_pallas_pbs(False)
+    out_ref = sk.apply_lookup_table(ct, lut)
+    ref = np.asarray(ck.decrypt(out_ref))
+
+    # Pallas (interpret) result on the same inputs
+    from tfhe_tpu.core.algorithms import keyswitch_lwe
+    small = keyswitch_lwe(ct.lwe, sk.ksk, 64)
+    rotated = multi_bit_blind_rotate_pallas(
+        lut.acc.data, small.data, sk.bsk.data_u32, sk.bsk.shoup_u32,
+        sk.bsk.decomp, 2, block_b=8, interpret=True)
+    out = sample_extract(GlweCiphertext(data=rotated), 0)
+    from tfhe_tpu.shortint.client_key import delta_for
+    d = delta_for(params)
+    dec = np.asarray((decrypt_lwe(out, ck.big_sk, 64) + (d >> np.uint64(1))) // d) % (2 * M * params.carry_modulus)
+    np.testing.assert_array_equal(ref, (np.arange(M) + 2) % M)
+    np.testing.assert_array_equal(dec % M, (np.arange(M) + 2) % M)

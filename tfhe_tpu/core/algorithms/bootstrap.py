@@ -147,10 +147,12 @@ def programmable_bootstrap(lwe: LweCiphertext, lut: GlweCiphertext,
     from ... import config
     if (config.use_pallas_pbs() and bsk.paired is not None
             and lut.data.ndim == 2):
+        import os
         from ..poly.pallas_ntt import blind_rotate_pallas
+        block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "16"))
         rotated = GlweCiphertext(data=blind_rotate_pallas(
             lut.data, lwe.data, bsk.paired, bsk.paired_shoup, bsk.decomp,
-            log_q=log_q))
+            log_q=log_q, block_b=block_b))
         return sample_extract(rotated, 0)
     rotated = blind_rotate(lut, lwe, bsk, log_q)
     return sample_extract(rotated, 0)

@@ -45,10 +45,13 @@ U64 = jnp.uint64
 
 @struct.dataclass
 class NttMultiBitBootstrapKey:
-    """data [n/g, 2^g, P, l*(k+1), k+1, N] uint64 + Shoup twin."""
+    """data [n/g, 2^g, P, l*(k+1), k+1, N] uint64 + Shoup twin, plus uint32
+    copies for the fused Pallas kernel."""
 
     data: jnp.ndarray
     shoup: jnp.ndarray = None
+    data_u32: jnp.ndarray = None
+    shoup_u32: jnp.ndarray = None
     decomp: DecompParams = struct.field(pytree_node=False, default=None)
     grouping_factor: int = struct.field(pytree_node=False, default=2)
     log_q: int = struct.field(pytree_node=False, default=64)
@@ -109,7 +112,10 @@ def multi_bit_bootstrap_key_to_ntt(std_data, decomp: DecompParams,
     hat = hat.reshape(ng, nv, npr, levels * glwe_size, glwe_size, n)
     p64 = jnp.asarray(plan.p64[:, None, None, :])
     sh = (hat << U64(32)) // p64
-    return NttMultiBitBootstrapKey(data=hat, shoup=sh, decomp=decomp,
+    return NttMultiBitBootstrapKey(data=hat, shoup=sh,
+                                   data_u32=hat.astype(jnp.uint32),
+                                   shoup_u32=sh.astype(jnp.uint32),
+                                   decomp=decomp,
                                    grouping_factor=grouping_factor, log_q=log_q)
 
 

@@ -150,7 +150,9 @@ def _submod(a, b, p):
 
 def _make_step_kernel(n: int, num_primes: int, glwe_size: int,
                       decomp: DecompParams, primes, log_q: int = 64,
-                      interpret: bool = False):
+                      interpret: bool = False, grouping: int = 1):
+    G = grouping
+    V = 1 << G
     if interpret:
         def roll(v, sh):
             return jnp.roll(v, sh, axis=1)
@@ -240,38 +242,48 @@ def _make_step_kernel(n: int, num_primes: int, glwe_size: int,
                     v = jax.lax.fori_loop(jnp.int32(0), jnp.int32(log_n), fwd_stage, v)
                     d_hat[pi][li * R + r] = v
 
-        # ---- 3. monomial phase X^ã per prime ------------------------------
-        a_val = a_ref[:, :1]                       # [Bt, 1] int32
-        wpow = []
+        # ---- 3. monomial phases X^(c_v) per prime --------------------------
+        # One binary-exponentiation phase per group bit; composite subsets are
+        # products of the single-bit phases (the paired-classic case is g = 1).
+        bit_pows = [[None] * G for _ in range(P)]   # [P][g] each [Bt, N]
         for pi in range(P):
             p = U32(primes[pi])
-            acc_w = jnp.ones(d_hat[pi][0].shape, dtype=U32)
-            for b in range(log_2n):
-                bit = ((a_val >> b) & 1) != 0      # [Bt, 1] → broadcast
-                mult = _mulmod(acc_w, vec(mono_ref[b, pi, :]),
-                               vec(mono_sh_ref[b, pi, :]), p)
-                acc_w = jnp.where(bit, mult, acc_w)
-            wpow.append(acc_w)
+            for gi in range(G):
+                a_val = a_ref[:, gi:gi + 1]         # [Bt, 1] int32
+                acc_w = jnp.ones((a_ref.shape[0], n), dtype=U32)
+                for b in range(log_2n):
+                    bit = ((a_val >> b) & 1) != 0
+                    mult = _mulmod(acc_w, vec(mono_ref[b, pi, :]),
+                                   vec(mono_sh_ref[b, pi, :]), p)
+                    acc_w = jnp.where(bit, mult, acc_w)
+                bit_pows[pi][gi] = acc_w
 
-        # ---- 4. MAC against the paired BSK --------------------------------
-        # spec[p][r] = Σ_j d_hat·bsk0[p,j,r] + (d_hat·X^ã)·bsk1[p,j,r]
+        # ---- 4. MAC over the 2^g GGSW variants -----------------------------
+        # GGSW_eff = Σ_v X^{c_v}·GGSW_v ;  spec = Σ_v (d_hat·phase_v)·bsk_v
+        # v bit order matches the multibit BSK: MSB of v ↔ first group bit.
         spec = [[None] * R for _ in range(P)]
         for pi in range(P):
             p = U32(primes[pi])
-            # phase·spectrum has two dynamic operands (no precomputed Shoup):
-            # use the generic double-width reduction
-            d_rot = [_mulmod_generic(d_hat[pi][j], wpow[pi], p, primes[pi])
-                     for j in range(J)]
-            for r in range(R):
-                acc_s = None
-                for j in range(J):
-                    t0 = _mulmod(d_hat[pi][j], vec(bsk_ref[0, pi, j, r, :]),
-                                 vec(bsk_sh_ref[0, pi, j, r, :]), p)
-                    t1 = _mulmod(d_rot[j], vec(bsk_ref[1, pi, j, r, :]),
-                                 vec(bsk_sh_ref[1, pi, j, r, :]), p)
-                    t = _addmod(t0, t1, p)
-                    acc_s = t if acc_s is None else _addmod(acc_s, t, p)
-                spec[pi][r] = acc_s
+            phases = {0: None}                      # v -> phase array or None(=1)
+            for v in range(1, V):
+                ph = None
+                for gi in range(G):
+                    if (v >> (G - 1 - gi)) & 1:
+                        ph = (bit_pows[pi][gi] if ph is None else
+                              _mulmod_generic(ph, bit_pows[pi][gi], p, primes[pi]))
+                phases[v] = ph
+            for v in range(V):
+                ph = phases[v]
+                d_use = (d_hat[pi] if ph is None else
+                         [_mulmod_generic(d_hat[pi][j], ph, p, primes[pi])
+                          for j in range(J)])
+                for r in range(R):
+                    acc_s = spec[pi][r]
+                    for j in range(J):
+                        t0 = _mulmod(d_use[j], vec(bsk_ref[v, pi, j, r, :]),
+                                     vec(bsk_sh_ref[v, pi, j, r, :]), p)
+                        acc_s = t0 if acc_s is None else _addmod(acc_s, t0, p)
+                    spec[pi][r] = acc_s
 
         # ---- 5. inverse NTT + untwist -------------------------------------
         res = [[None] * R for _ in range(P)]
@@ -365,21 +377,22 @@ def _mulmod_generic(a, b, p_u32, p_int: int):
 def blind_rotate_step_pallas(a_j, acc_hi, acc_lo, bsk_j, bsk_sh_j,
                              decomp: DecompParams, *, n: int, num_primes: int,
                              glwe_size: int, block_b: int = 8,
-                             interpret: bool = False, log_q: int = 64):
+                             interpret: bool = False, log_q: int = 64,
+                             grouping: int = 1):
     """One fused blind-rotation step over the whole batch.
 
-    a_j [B] int32, acc_hi/lo [B, R, N] u32, bsk_j/bsk_sh_j [2, P, J, R, N] u32
-    → new (acc_hi, acc_lo)."""
+    a_j [B, g] int32, acc_hi/lo [B, R, N] u32,
+    bsk_j/bsk_sh_j [2^g, P, J, R, N] u32 → new (acc_hi, acc_lo)."""
     plan = get_plan(n, num_primes)
     primes = [int(p) for p in plan.primes]
     assert all(p > (1 << 30) for p in primes), "kernel assumes 31-bit primes"
     t = build_step_tables(n, num_primes)
     B = acc_hi.shape[0]
     bt = min(block_b, B)
-    assert B % bt == 0, f"batch {B} must be a multiple of the tile {bt}" 
+    assert B % bt == 0, f"batch {B} must be a multiple of the tile {bt}"
     R = glwe_size
     kernel = _make_step_kernel(n, num_primes, glwe_size, decomp, primes,
-                               log_q, interpret=interpret)
+                               log_q, interpret=interpret, grouping=grouping)
 
     grid = (B // bt,)
     vm = pltpu.VMEM
@@ -394,7 +407,7 @@ def blind_rotate_step_pallas(a_j, acc_hi, acc_lo, bsk_j, bsk_sh_j,
                             (_z,) * _r, memory_space=vm)
 
     in_specs = [
-        pl.BlockSpec((bt, 1), lambda i: (i, zero), memory_space=vm),        # a
+        pl.BlockSpec((bt, grouping), lambda i: (i, zero), memory_space=vm), # a
         pl.BlockSpec((bt, R, n), lambda i: (i, zero, zero), memory_space=vm),  # hi
         pl.BlockSpec((bt, R, n), lambda i: (i, zero, zero), memory_space=vm),  # lo
         bcast(bsk_j.shape),
@@ -411,10 +424,13 @@ def blind_rotate_step_pallas(a_j, acc_hi, acc_lo, bsk_j, bsk_sh_j,
     )
     out_shape = (jax.ShapeDtypeStruct(acc_hi.shape, jnp.uint32),
                  jax.ShapeDtypeStruct(acc_lo.shape, jnp.uint32))
+    a2d = a_j.astype(jnp.int32)
+    if a2d.ndim == 1:
+        a2d = a2d[:, None]
     return pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
-    )(a_j[:, None].astype(jnp.int32), acc_hi, acc_lo, bsk_j, bsk_sh_j,
+    )(a2d, acc_hi, acc_lo, bsk_j, bsk_sh_j,
       jnp.asarray(t.twist), jnp.asarray(t.twist_sh),
       jnp.asarray(t.fwd), jnp.asarray(t.fwd_sh),
       jnp.asarray(t.inv), jnp.asarray(t.inv_sh),
@@ -469,6 +485,57 @@ def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
             log_q=log_q)
 
     acc_hi, acc_lo = jax.lax.fori_loop(0, n_in, step, (acc_hi, acc_lo))
+    out = (acc_hi.astype(jnp.uint64) << jnp.uint64(32)) | acc_lo.astype(jnp.uint64)
+    out = out[:flat_b] if pad else out
+    return out.reshape(batch + out.shape[-2:])
+
+
+def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
+                                  decomp: DecompParams, grouping: int,
+                                  log_q: int = 64, block_b: int = 8,
+                                  interpret: bool = False):
+    """Fused multibit blind rotation: n/g steps, 2^g GGSW variants per step.
+
+    mb_u32 [n/g, 2^g, P, J, R, N] u32 (+ shoup twin)."""
+    from ..algorithms.bootstrap import modulus_switch
+    from . import monomial_mul
+
+    num_groups = mb_u32.shape[0]
+    num_primes = mb_u32.shape[2]
+    glwe_size = mb_u32.shape[4]
+    n = mb_u32.shape[-1]
+    batch = lwe_data.shape[:-1]
+
+    bt = min(block_b, max(int(np.prod(batch)), 1))
+    flat_b = int(np.prod(batch)) if batch else 1
+    pad = (-flat_b) % max(bt, 1)
+    if pad:
+        lwe_data = jnp.concatenate(
+            [lwe_data.reshape(flat_b, -1),
+             jnp.zeros((pad, lwe_data.shape[-1]), lwe_data.dtype)], axis=0)
+    else:
+        lwe_data = lwe_data.reshape(max(flat_b, 1), -1)
+
+    switched = modulus_switch(lwe_data, log_q, n)
+    a_sw, b_sw = switched[..., :-1], switched[..., -1]
+    acc = monomial_mul(
+        jnp.broadcast_to(lut_data, b_sw.shape + lut_data.shape[-2:]),
+        (2 * n - b_sw)[..., None])
+    acc_hi = (acc >> jnp.uint64(32)).astype(jnp.uint32)
+    acc_lo = acc.astype(jnp.uint32)
+
+    def step(j, carry):
+        hi, lo = carry
+        a_grp = jax.lax.dynamic_slice_in_dim(a_sw, j * grouping, grouping,
+                                             axis=-1)
+        bsk_j = jax.lax.dynamic_index_in_dim(mb_u32, j, 0, keepdims=False)
+        sh_j = jax.lax.dynamic_index_in_dim(mb_sh_u32, j, 0, keepdims=False)
+        return blind_rotate_step_pallas(
+            a_grp, hi, lo, bsk_j, sh_j, decomp, n=n, num_primes=num_primes,
+            glwe_size=glwe_size, block_b=bt, interpret=interpret,
+            log_q=log_q, grouping=grouping)
+
+    acc_hi, acc_lo = jax.lax.fori_loop(0, num_groups, step, (acc_hi, acc_lo))
     out = (acc_hi.astype(jnp.uint64) << jnp.uint64(32)) | acc_lo.astype(jnp.uint64)
     out = out[:flat_b] if pad else out
     return out.reshape(batch + out.shape[-2:])

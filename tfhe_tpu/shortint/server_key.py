@@ -97,9 +97,21 @@ class ServerKey:
     def _pbs(self, lwe, acc):
         """Dispatch classic vs multi-bit bootstrap (the reference's
         ShortintBootstrappingKey::Classic | MultiBit, shortint/server_key/mod.rs:104)."""
+        from .. import config
         from ..core.algorithms.multi_bit import (NttMultiBitBootstrapKey,
                                                  multi_bit_blind_rotate)
+        from ..core.entities import GlweCiphertext
         if isinstance(self.bsk, NttMultiBitBootstrapKey):
+            if (config.use_pallas_pbs() and self.bsk.data_u32 is not None
+                    and acc.data.ndim == 2):
+                import os
+                from ..core.poly.pallas_ntt import multi_bit_blind_rotate_pallas
+                block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "16"))
+                rotated = GlweCiphertext(data=multi_bit_blind_rotate_pallas(
+                    acc.data, lwe.data, self.bsk.data_u32, self.bsk.shoup_u32,
+                    self.bsk.decomp, self.bsk.grouping_factor, log_q=LOG_Q,
+                    block_b=block_b))
+                return sample_extract(rotated, 0)
             rotated = multi_bit_blind_rotate(acc, lwe, self.bsk, LOG_Q)
             return sample_extract(rotated, 0)
         return programmable_bootstrap(lwe, acc, self.bsk, LOG_Q)
