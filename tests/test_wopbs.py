@@ -53,3 +53,18 @@ def test_wopbs_arbitrary_function(wkeys):
     np.testing.assert_array_equal(
         np.asarray(ck.decrypt_message_and_carry(out)),
         [f(i) for i in range(16)])
+
+
+def test_integer_wopbs(wkeys):
+    """Radix-wide arbitrary LUT: f over the full 4-bit value (2 blocks)."""
+    from tfhe_tpu import integer
+    from tfhe_tpu.integer.wopbs import new_integer_wopbs_key
+    ck, sk, wk = wkeys
+    rck = integer.RadixClientKey(key=ck, num_blocks=2)
+    isk = integer.ServerKey(key=sk)
+    iwk = new_integer_wopbs_key(wk)
+    f = lambda x: (x * 3 + 5) % 16
+    vals = np.array([0, 7, 11, 15])
+    ct = rck.encrypt(jnp.asarray(vals), seed=4)
+    out = iwk.wopbs(ct, f)
+    np.testing.assert_array_equal(rck.decrypt(out), [f(int(v)) for v in vals])

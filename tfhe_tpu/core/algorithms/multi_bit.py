@@ -81,24 +81,26 @@ def generate_multi_bit_bootstrap_key(key, lwe_sk, glwe_sk,
     n_in = lwe_sk.lwe_dimension
     g = grouping_factor
     assert n_in % g == 0, "lwe_dimension must be a multiple of grouping_factor"
-    bits = lwe_sk.bits.astype(jnp.int32).reshape(n_in // g, g)
+    ng, nv = n_in // g, 1 << g
+    bits = lwe_sk.bits.astype(jnp.int32).reshape(ng, g)
 
-    groups = []
-    for j in range(n_in // g):
-        per_v = []
-        for v in range(1 << g):
-            # indicator: product over bits of (s_i if v_i else 1 - s_i);
-            # bit order matches the reference (MSB of v ↔ first bit of group)
-            msg = jnp.int32(1)
-            for i in range(g):
-                v_bit = (v >> (g - 1 - i)) & 1
-                s = bits[j, i]
-                msg = msg * (s if v_bit else (1 - s))
-            sub = rng.fork(key, j, v)
-            per_v.append(encrypt_constant_ggsw(sub, glwe_sk, msg, decomp,
-                                               noise_std, log_q).data)
-        groups.append(jnp.stack(per_v))
-    return jnp.stack(groups)
+    # indicator messages [ng, 2^g]: ∏_i (s_i if v_i else 1-s_i);
+    # bit order matches the reference (MSB of v ↔ first bit of group)
+    msgs = jnp.ones((ng, nv), jnp.int32)
+    for i in range(g):
+        for v in range(nv):
+            v_bit = (v >> (g - 1 - i)) & 1
+            s = bits[:, i]
+            msgs = msgs.at[:, v].multiply(s if v_bit else (1 - s))
+
+    keys = rng.split(key, ng * nv)
+
+    def one(subkey, msg):
+        return encrypt_constant_ggsw(subkey, glwe_sk, msg, decomp,
+                                     noise_std, log_q).data
+
+    data = jax.vmap(one)(keys, msgs.reshape(-1))
+    return data.reshape((ng, nv) + data.shape[1:])
 
 
 def multi_bit_bootstrap_key_to_ntt(std_data, decomp: DecompParams,

@@ -288,6 +288,13 @@ class ServerKey:
             acc = self.unchecked_add(acc, p)
         return self.full_propagate(acc)
 
+    def sum_ciphertexts(self, cts: List[RadixCiphertext]) -> RadixCiphertext:
+        """Sum many radix ciphertexts with carry-aware chunked accumulation
+        (reference unchecked_sum_ciphertexts_vec_parallelized)."""
+        return self._sum_partials(list(cts))
+
+    sum_ciphertexts_parallelized = sum_ciphertexts
+
     def blockshift(self, a: RadixCiphertext, shift: int) -> RadixCiphertext:
         """Multiply by msg_mod^shift: move blocks up, zero-fill low blocks."""
         if shift == 0:

@@ -74,6 +74,12 @@ class WopbsKey:
         return extract_bits(ct.lwe, self.server_key.ksk, self.server_key.bsk,
                             self.delta_log, self.message_bits, LOG_Q)
 
+    def extract_bits_of(self, ct: Ciphertext, num_bits: int) -> LweCiphertext:
+        """Extract only the `num_bits` low bits of the block value (the
+        message bits, used by the integer-level WoP-PBS)."""
+        return extract_bits(ct.lwe, self.server_key.ksk, self.server_key.bsk,
+                            self.delta_log, num_bits, LOG_Q)
+
     def circuit_bootstrap(self, bits: LweCiphertext):
         """Per extracted bit: one GGSW (MSB first), NTT-transformed."""
         hats, shoups = [], []
