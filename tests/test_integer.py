@@ -143,3 +143,13 @@ def test_crt(ikeys):
     np.testing.assert_array_equal(cck.decrypt(sk.crt_mul(ca, cb)),
                                   (vals * vals[::-1]) % 12)
     np.testing.assert_array_equal(cck.decrypt(sk.crt_neg(ca)), (-vals) % 12)
+
+
+def test_add_parallelized_log_depth(ikeys):
+    """Hillis–Steele carry scan vs the sequential path, with carry chains."""
+    ck, sk = ikeys
+    a = np.array([255, 170, 85, 254])   # 0xFF forces a full carry chain
+    b = np.array([1, 86, 171, 3])
+    ca, cb = ck.encrypt(jnp.asarray(a), seed=40), ck.encrypt(jnp.asarray(b), seed=41)
+    out = sk.add_parallelized(ca, cb)
+    np.testing.assert_array_equal(ck.decrypt(out), (a + b) % MOD)

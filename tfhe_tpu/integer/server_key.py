@@ -98,6 +98,61 @@ class ServerKey:
             out.append(msg)
         return type(ct)(blocks=out)
 
+    def full_propagate_parallelized(self, ct: RadixCiphertext) -> RadixCiphertext:
+        """Hillis–Steele carry propagation (reference
+        radix_parallel/add.rs:541-607): per-block (generate/propagate) states,
+        a log₂(b)-depth inclusive scan of batched combine-LUT layers, then one
+        final (message + carry_in) extraction layer.  Requires block values
+        ≤ 2m-1 (i.e. the sum of two clean operands)."""
+        m = self.msg_mod
+        nb = ct.num_blocks
+        if nb == 1 or any(b.degree > 2 * m - 1 for b in ct.blocks):
+            return self.full_propagate(ct)
+        NONE_, GEN, PROP = 0, 1, 2
+        lut_state = self.key.generate_lookup_table(
+            lambda v: GEN if v >= m else (PROP if v == m - 1 else NONE_))
+        states = self._apply_lut_same(ct.blocks, lut_state)
+
+        # inclusive scan with operator: a∘b = a if a != PROP else b
+        lut_combine = self.key.generate_lookup_table(
+            lambda x: (x // 4) if (x // 4) != PROP else (x % 4))
+        dist = 1
+        while dist < nb:
+            packed, idxs = [], []
+            for i in range(nb):
+                if i - dist >= 0:
+                    hi, lo = states[i], states[i - dist]
+                    packed.append(hi.with_(
+                        lwe=LweCiphertext(data=hi.lwe.data * jnp.uint64(4)
+                                          + lo.lwe.data),
+                        degree=hi.degree * 4 + lo.degree,
+                        noise_level=hi.noise_level * 4 + lo.noise_level))
+                    idxs.append(i)
+            outs = self._apply_lut_same(packed, lut_combine)
+            for i, o in zip(idxs, outs):
+                states[i] = o
+            dist *= 2
+
+        # prefix state → carry bit (one more batched layer), then resolve
+        # message + carry_in with packing bit*(2m) + v ≤ 2m*1 + 2m-1 ≤ max
+        lut_bit = self.key.generate_lookup_table(lambda x: 1 if x == GEN else 0)
+        bits = self._apply_lut_same(states[:-1], lut_bit)
+        lut_resolve = self.key.generate_lookup_table(
+            lambda x: ((x % (2 * m)) + (x // (2 * m))) % m)
+        packed = [ct.blocks[0]]
+        for i in range(1, nb):
+            c = bits[i - 1]
+            packed.append(ct.blocks[i].with_(
+                lwe=LweCiphertext(data=c.lwe.data * jnp.uint64(2 * m)
+                                  + ct.blocks[i].lwe.data),
+                degree=c.degree * 2 * m + ct.blocks[i].degree,
+                noise_level=c.noise_level * 2 * m
+                + ct.blocks[i].noise_level))
+        lut_msg0 = self.key.generate_lookup_table(lambda x: x % m)
+        outs = self._apply_luts_stacked(
+            packed, [lut_msg0] + [lut_resolve] * (nb - 1))
+        return type(ct)(blocks=outs)
+
     def _maybe_propagate(self, ct: RadixCiphertext) -> RadixCiphertext:
         if ct.block_carries_are_empty():
             return ct
@@ -120,7 +175,10 @@ class ServerKey:
     def add(self, a, b):
         return self.full_propagate(self.smart_add(a, b))
 
-    add_parallelized = add
+    def add_parallelized(self, a, b):
+        """Log-depth add: blockwise sum + Hillis–Steele carry scan."""
+        a, b = self._maybe_propagate(a), self._maybe_propagate(b)
+        return self.full_propagate_parallelized(self.unchecked_add(a, b))
 
     def unchecked_neg(self, a: RadixCiphertext) -> RadixCiphertext:
         """Blockwise negation with correcting terms: block_i' = w_i*Δ - block_i
