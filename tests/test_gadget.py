@@ -150,3 +150,31 @@ def test_woppbs_lut(gkeys):
     out = ge.woppbs_lut(sk, ct, enc_out, f)
     np.testing.assert_array_equal(gadget.decrypt(ck, out),
                                   [f(int(x)) for x in np.asarray(msgs)])
+
+
+def test_gadget_deep_circuit(gkeys, rs):
+    """Long random gadget-gate chain vs the clear model (analogue of
+    test_deep_circuit, gadget/server_key/tests.rs:763)."""
+    ck, sk = gkeys
+    gates = [
+        (Gadget.new_canonical(lambda a, b: a & b, 2, [1, 2], 1, 5, 5),
+         lambda a, b: a & b),
+        (Gadget.new_canonical(lambda a, b: a | b, 2, [1, 2], 1, 5, 5),
+         lambda a, b: a | b),
+        (Gadget.new_canonical(lambda a, b: a ^ b, 2, [1, 2], 1, 5, 5),
+         lambda a, b: a ^ b),
+    ]
+    a = np.array([0, 1, 1, 0])
+    b = np.array([1, 1, 0, 0])
+    enc = Encoding.new_canonical_binary(1, 5)
+    ca = gadget.encrypt_arithmetic(ck, jnp.asarray(a), gates[0][0].enc_in[0], seed=50)
+    cb = gadget.encrypt_arithmetic(ck, jnp.asarray(b), gates[0][0].enc_in[1], seed=51)
+    cur_enc, cur_clear = ca, a.copy()
+    for step in range(5):
+        g, clear_fn = gates[rs.randint(len(gates))]
+        # output encoding of a gadget is canonical binary value 1 — matches
+        # the gate inputs' encoding, so chaining is closed
+        cur_enc = g.exec(sk, [cur_enc, cb])
+        cur_clear = clear_fn(cur_clear, b)
+        np.testing.assert_array_equal(gadget.decrypt(ck, cur_enc), cur_clear,
+                                      err_msg=f"step {step}")

@@ -5,10 +5,10 @@ reference parallelizes across blocks with rayon joins; here independent
 block PBS calls are *stacked onto the batch axis* and issued as one
 bootstrap — the TPU equivalent of radix_parallel (SURVEY.md §2.9 table).
 
-Costs (b = num_blocks): add = b-step sequential carry propagation (the
-Hillis–Steele log-depth scan is a planned upgrade); mul = one batched PBS
-for all 2b² partial products + chunked accumulation; comparisons = log₂(b)
-batched tree layers.
+Costs (b = num_blocks): add_parallelized = Hillis–Steele carry scan in
+log₂(b)+3 batched PBS layers (`add` keeps the b-step sequential path);
+mul = one batched PBS for all 2b² partial products + chunked accumulation;
+comparisons = log₂(b) batched tree layers.
 """
 from __future__ import annotations
 
