@@ -57,11 +57,11 @@ def test_ntt_roundtrip(rs):
 
 
 def test_required_num_primes():
-    assert required_num_primes(29) == 1
-    assert required_num_primes(60) == 2
+    assert required_num_primes(28) == 1
+    assert required_num_primes(58) == 2
     assert required_num_primes(97) == 4
 
 
 def test_primes_are_ntt_friendly():
     for p in PRIMES_31:
-        assert (p - 1) % (1 << 24) == 0 or (p - 1) % 8192 == 0
+        assert (p - 1) % (1 << 14) == 0 and p < (1 << 30)

@@ -34,13 +34,15 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-# 31-bit primes with p ≡ 1 (mod 2^24): negacyclic NTT up to N = 2^23.
-PRIMES_31 = (
-    2013265921,  # 15 * 2^27 + 1
-    2130706433,  # 127 * 2^24 + 1
-    2113929217,  # 63 * 2^25 + 1
-    1811939329,  # 27 * 2^26 + 1
-    469762049,   # 7 * 2^26 + 1
+# NTT primes just below 2^30 with p ≡ 1 (mod 2^14): negacyclic NTT up to
+# N = 2^13, and p < 2^30 leaves the headroom (2p, 4p < 2^32) that the Pallas
+# kernel's approximate-mulhi Shoup multiplication and lazy reductions need.
+PRIMES_31 = (   # name kept for source compatibility; values are 30-bit
+    1073692673,  # 2^30 - 49151·... (k·2^14 + 1)
+    1073643521,
+    1073479681,
+    1073430529,
+    1073299457,
 )
 
 _U32 = jnp.uint32

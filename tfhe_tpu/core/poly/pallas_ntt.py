@@ -127,10 +127,24 @@ def _mulhi32(a, b):
     return p11 + (p01 >> U32(16)) + (p10 >> U32(16)) + (t >> U32(16))
 
 
+def _mulhi32_approx(a, b):
+    """mulhi within [-2, 0] of the true value (drops the low-product carry):
+    3 multiplies instead of 4 — valid for Shoup quotients, where the caller
+    absorbs the error with extra conditional subtractions."""
+    a0 = a & U32(0xFFFF)
+    a1 = a >> U32(16)
+    b0 = b & U32(0xFFFF)
+    b1 = b >> U32(16)
+    return a1 * b1 + ((a1 * b0) >> U32(16)) + ((a0 * b1) >> U32(16))
+
+
 def _mulmod(a, w, ws, p):
-    """Shoup: a*w mod p; a < 2^32, w < p. 6 multiplies, no division."""
-    q = _mulhi32(a, ws)
+    """Shoup: a*w mod p; a < 2^32, w < p < 2^30. 5 multiplies, no division.
+    q̂ ∈ [q-2, q] ⇒ r < 4p < 2^32: two conditional subtractions."""
+    q = _mulhi32_approx(a, ws)
     r = a * w - q * p
+    two_p = p + p
+    r = jnp.where(r >= two_p, r - two_p, r)
     return jnp.where(r >= p, r - p, r)
 
 
@@ -385,7 +399,8 @@ def blind_rotate_step_pallas(a_j, acc_hi, acc_lo, bsk_j, bsk_sh_j,
     bsk_j/bsk_sh_j [2^g, P, J, R, N] u32 → new (acc_hi, acc_lo)."""
     plan = get_plan(n, num_primes)
     primes = [int(p) for p in plan.primes]
-    assert all(p > (1 << 30) for p in primes), "kernel assumes 31-bit primes"
+    assert all(p < (1 << 30) for p in primes), \
+        "kernel's approximate-mulhi Shoup path needs p < 2^30"
     t = build_step_tables(n, num_primes)
     B = acc_hi.shape[0]
     bt = min(block_b, B)
