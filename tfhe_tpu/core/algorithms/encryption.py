@@ -205,7 +205,8 @@ def bootstrap_key_to_ntt(bsk: LweBootstrapKey, log_q: int,
     p64 = jnp.asarray(plan.p64[:, None, None, :])    # [P,1,1,1]
     sh = (hat << jnp.uint64(32)) // p64              # keygen-time division: cold
     key = NttLweBootstrapKey(data=hat, shoup=sh, decomp=bsk.decomp, log_q=log_q)
-    if log_q == 64 and all(p > (1 << 30) for p in plan.primes):
+    # the fused kernel's approximate-mulhi Shoup path requires p < 2^30
+    if log_q == 64 and all(p < (1 << 30) for p in plan.primes):
         paired, paired_sh = bootstrap_key_to_ntt_paired(key, log_q)
         key = NttLweBootstrapKey(data=hat, shoup=sh, paired=paired,
                                  paired_shoup=paired_sh, decomp=bsk.decomp,
