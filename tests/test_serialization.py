@@ -40,6 +40,91 @@ def test_seeded_bsk_roundtrip():
                                   np.asarray(full.data))
 
 
+def test_seeded_glwe_roundtrip():
+    from tfhe_tpu.core.algorithms import decrypt_glwe
+    from tfhe_tpu.core.algorithms.seeded import (decompress_glwe,
+                                                 encrypt_glwe_seeded)
+    sk = generate_glwe_secret_key(rng.key_from_seed(4), 2, 64)
+    delta = np.uint64(1) << np.uint64(59)
+    pts = (jnp.arange(3 * 64, dtype=jnp.uint64) % 8).reshape(3, 64) * delta
+    sct = encrypt_glwe_seeded(78, sk, pts, P.glwe_noise_std, 64)
+    assert sct.body.shape == (3, 64)       # (k+1)N -> N compression
+    dec = decrypt_glwe(decompress_glwe(sct), sk, 64)
+    got = (np.asarray(dec) + (delta >> np.uint64(1))) // delta % 32
+    np.testing.assert_array_equal(got, np.asarray(pts) // delta)
+
+
+def test_seeded_ggsw_list_roundtrip():
+    from tfhe_tpu.core.algorithms.seeded import (decompress_ggsw_list,
+                                                 generate_seeded_ggsw_list)
+    glwe_sk = generate_glwe_secret_key(rng.key_from_seed(5), 1, 64)
+    full, seeded = generate_seeded_ggsw_list(
+        56, glwe_sk, jnp.asarray([0, 1, 1]), P.pbs_decomp, P.glwe_noise_std, 64)
+    assert seeded.bodies.nbytes * 2 == full.nbytes
+    rebuilt = decompress_ggsw_list(seeded)
+    for i, g in enumerate(rebuilt):
+        np.testing.assert_array_equal(np.asarray(g.data), np.asarray(full[i]))
+
+
+def test_seeded_multi_bit_bsk_roundtrip():
+    from tfhe_tpu.core.algorithms.seeded import (
+        decompress_multi_bit_bootstrap_key,
+        generate_seeded_multi_bit_bootstrap_key)
+    lwe_sk = generate_lwe_secret_key(rng.key_from_seed(6), 8)
+    glwe_sk = generate_glwe_secret_key(rng.key_from_seed(7), 1, 64)
+    full, seeded = generate_seeded_multi_bit_bootstrap_key(
+        57, lwe_sk, glwe_sk, P.pbs_decomp, 2, P.glwe_noise_std, 64)
+    rebuilt = decompress_multi_bit_bootstrap_key(seeded)
+    np.testing.assert_array_equal(np.asarray(rebuilt), np.asarray(full))
+
+
+def test_seeded_pksk_roundtrip():
+    from tfhe_tpu.core.algorithms.seeded import (
+        decompress_packing_keyswitch_key,
+        generate_seeded_packing_keyswitch_key)
+    from tfhe_tpu.core.params import DecompParams
+    in_sk = generate_lwe_secret_key(rng.key_from_seed(8), 16)
+    out_sk = generate_glwe_secret_key(rng.key_from_seed(9), 2, 64)
+    full, seeded = generate_seeded_packing_keyswitch_key(
+        58, in_sk, out_sk, DecompParams(base_log=4, level=8),
+        P.glwe_noise_std, 64)
+    rebuilt = decompress_packing_keyswitch_key(seeded)
+    np.testing.assert_array_equal(np.asarray(rebuilt.data),
+                                  np.asarray(full.data))
+
+
+def test_seeded_public_keys_roundtrip():
+    from tfhe_tpu.core.algorithms.seeded import (
+        decompress_compact_public_key, decompress_lwe_public_key,
+        generate_seeded_compact_public_key, generate_seeded_lwe_public_key)
+    sk = generate_lwe_secret_key(rng.key_from_seed(10), 64)
+    full, seeded = generate_seeded_lwe_public_key(59, sk, 20, 2.0**20, 64)
+    rebuilt = decompress_lwe_public_key(seeded)
+    np.testing.assert_array_equal(np.asarray(rebuilt.data),
+                                  np.asarray(full.data))
+    assert seeded.bodies.nbytes * 65 == full.data.nbytes
+
+    fullc, seededc = generate_seeded_compact_public_key(60, sk, 2.0**20, 64)
+    rebuiltc = decompress_compact_public_key(seededc)
+    np.testing.assert_array_equal(np.asarray(rebuiltc.data),
+                                  np.asarray(fullc.data))
+
+
+def test_seeded_entity_serialization(tmp_path):
+    from tfhe_tpu.core.algorithms.seeded import (decompress_ggsw_list,
+                                                 generate_seeded_ggsw_list)
+    glwe_sk = generate_glwe_secret_key(rng.key_from_seed(11), 1, 64)
+    full, seeded = generate_seeded_ggsw_list(
+        61, glwe_sk, jnp.asarray([1, 0]), P.pbs_decomp, P.glwe_noise_std, 64)
+    p = tmp_path / "sggsw.npz"
+    save(seeded, p)
+    s2 = load(p)
+    assert s2.seed == seeded.seed and s2.decomp == seeded.decomp
+    rebuilt = decompress_ggsw_list(s2)
+    np.testing.assert_array_equal(np.asarray(rebuilt[0].data),
+                                  np.asarray(full[0]))
+
+
 def test_save_load_roundtrip(tmp_path):
     from tfhe_tpu import shortint
     from tfhe_tpu.core.params import TEST_PARAMS_SHORTINT

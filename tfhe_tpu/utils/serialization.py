@@ -52,6 +52,9 @@ def _register_known_types():
                 E.LwePackingKeyswitchKey, E.GlweRelinearizationKey,
                 S.SeededLweCiphertext, S.SeededGlweCiphertext,
                 S.SeededLweBootstrapKey, S.SeededLweKeyswitchKey,
+                S.SeededGgswCiphertextList, S.SeededLweMultiBitBootstrapKey,
+                S.SeededLwePackingKeyswitchKey, S.SeededLwePublicKey,
+                S.SeededLweCompactPublicKey,
                 DecompParams, ClassicPBSParameters, MultiBitPBSParameters,
                 WopbsParameters, BooleanParameters, GadgetParameters,
                 BoolCiphertext, BooleanClientKey, BooleanServerKey,
