@@ -20,16 +20,19 @@ def signed_decompose(x, decomp: DecompParams, log_q: int):
     """x: unsigned torus array [...] → digits int64 [..., L], level-major
     (index l has weight q/B^(l+1); index 0 is the most significant digit)."""
     b_log, levels = decomp.base_log, decomp.level
-    base = 1 << b_log
-    half = base >> 1
     x = jnp.asarray(x)
     u64 = x.dtype
 
     shift = log_q - b_log * levels
     # round to closest representable (guard-bit round half-up, wrapping)
     s = (x + (u64.type(1) << u64.type(shift - 1))) >> u64.type(shift) if shift > 0 else x
-    s = s.astype(jnp.uint64)
+    return _balanced_digits(s.astype(jnp.uint64), b_log, levels)
 
+
+def _balanced_digits(s, b_log: int, levels: int):
+    """Rounded top-bits value s → L balanced base-2^b_log digits, level-major."""
+    base = 1 << b_log
+    half = base >> 1
     digits_lsb = []
     for _ in range(levels):
         raw = s & jnp.uint64(base - 1)
@@ -39,6 +42,23 @@ def signed_decompose(x, decomp: DecompParams, log_q: int):
         digits_lsb.append(d)
     # LSB-first corresponds to level L-1 down to 0
     return jnp.stack(digits_lsb[::-1], axis=-1)
+
+
+def signed_decompose128(x128, decomp: DecompParams):
+    """128-bit-modulus signed decomposition: x128 [..., 2] (hi, lo) u64 →
+    digits int64 [..., L].  Requires base_log·level <= 64 (all the digits
+    live in the high limb — true for every practical 128-bit parameter set),
+    so only the round-carry can involve the low limb."""
+    b_log, levels = decomp.base_log, decomp.level
+    shift = 128 - b_log * levels
+    assert shift >= 64, "base_log*level must be <= 64 at a 2^128 modulus"
+    hi, lo = x128[..., 0], x128[..., 1]
+    if shift - 1 >= 64:
+        hi_r = hi + (jnp.uint64(1) << jnp.uint64(shift - 1 - 64))
+    else:  # shift == 64: the round guard bit is the low limb's MSB
+        hi_r = hi + (lo >> jnp.uint64(63))
+    s = hi_r >> jnp.uint64(shift - 64) if shift > 64 else hi_r
+    return _balanced_digits(s, b_log, levels)
 
 
 def recompose(digits, decomp: DecompParams, log_q: int):

@@ -43,6 +43,8 @@ PRIMES_31 = (   # name kept for source compatibility; values are 30-bit
     1073479681,
     1073430529,
     1073299457,
+    1073233921,  # primes 6-7 give the ~210-bit CRT range that the
+    1073184769,  # 128-bit-modulus external product needs (pbs128.py)
 )
 
 _U32 = jnp.uint32
@@ -156,9 +158,11 @@ class NttPlan:
             half_digits.append(h % p)
             h //= p
         self.half_digits = half_digits
-        self.prefix_mod = [int(np.prod([1] + P[:j], dtype=object)) & ((1 << 64) - 1)
-                           for j in range(num_primes)]
+        prefixes = [int(np.prod([1] + P[:j], dtype=object)) for j in range(num_primes)]
+        self.prefix_mod = [x & ((1 << 64) - 1) for x in prefixes]
         self.M_mod = M & ((1 << 64) - 1)
+        self.prefix_mod128 = [x & ((1 << 128) - 1) for x in prefixes]
+        self.M_mod128 = M & ((1 << 128) - 1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -297,6 +301,29 @@ def pointwise_mul(plan: NttPlan, a_hat, b_hat) -> jnp.ndarray:
     return (a_hat * b_hat) % p64
 
 
+def _garner_digits(plan: NttPlan, res):
+    """CRT residues [..., P, N] → mixed-radix digits t_i < p_i (list of P
+    arrays) plus the (value >= M/2) signed-lift predicate."""
+    P = plan.num_primes
+    v = [res[..., i, :] for i in range(P)]
+    t = [v[0]]
+    for i in range(1, P):
+        pi = plan.primes[i]
+        p64 = _U64(pi)
+        acc = jnp.zeros_like(v[i])
+        for j in range(i):
+            acc = addmod(acc, mulmod_shoup_scalar(t[j], plan.garner_weights[i][j], pi), p64)
+        diff = submod(v[i], acc, p64)
+        t.append(mulmod_shoup_scalar(diff, plan.garner_inv[i], pi))
+    ge = jnp.zeros(t[0].shape, dtype=bool)
+    eq = jnp.ones(t[0].shape, dtype=bool)
+    for i in reversed(range(P)):
+        h = _U64(plan.half_digits[i])
+        ge = ge | (eq & (t[i] > h))
+        eq = eq & (t[i] == h)
+    return t, ge | eq
+
+
 def garner_to_torus(plan: NttPlan, res, log_q: int) -> jnp.ndarray:
     """CRT residues [..., P, N] u32 → signed-lifted value mod 2^log_q [..., N].
     Division-free: all Garner constants use scalar Shoup multiplies."""
@@ -326,6 +353,56 @@ def garner_to_torus(plan: NttPlan, res, log_q: int) -> jnp.ndarray:
     if log_q == 32:
         return c.astype(_U32)
     return c & _U64((1 << log_q) - 1)
+
+
+# ---------------------------------------------------------------------------
+# 2^128 ciphertext modulus (the reference's fft_impl/fft128 role): same CRT
+# NTT with a wider prime set; only the reduce/reconstruct ends differ.
+# ---------------------------------------------------------------------------
+
+
+def _reduce_torus128(x128, plan):
+    """u128 torus values [..., N, 2] → residues [..., P, N] u64 < p.
+    Signed representative: x - 2^128 when hi >= 2^63 equals
+    (hi as int64)·2^64 + lo, so hi reduces through the int64 path."""
+    hi_s = x128[..., 0].astype(jnp.int64)[..., None, :]          # [..., 1, N]
+    lo = x128[..., 1][..., None, :]
+    p_i64 = plan.p64.astype(np.int64)                            # [P, 1]
+    r_hi = (hi_s % p_i64).astype(_U64)
+    r_lo = lo % plan.p64.astype(_U64)
+    two64 = np.array([[pow(2, 64, int(p))] for p in plan.primes], dtype=np.uint64)
+    return (r_hi * two64 + r_lo) % plan.p64.astype(_U64)
+
+
+def ntt_forward128(plan: NttPlan, x128) -> jnp.ndarray:
+    """u128 torus polynomials [..., N, 2] → spectra [..., P, N] u64 < p."""
+    return _dif_forward(plan, _reduce_torus128(x128, plan))
+
+
+def garner_to_torus128(plan: NttPlan, res) -> jnp.ndarray:
+    """CRT residues [..., P, N] → signed-lifted value mod 2^128 [..., N, 2]."""
+    from ..u128 import add128, mul_u64_by_u128, sub128, where128
+
+    t, lift = _garner_digits(plan, res)
+    c = mul_u64_by_u128(t[0], 0, 1)
+    for i in range(1, plan.num_primes):
+        pref = plan.prefix_mod128[i]
+        c = add128(c, mul_u64_by_u128(t[i], pref >> 64, pref & ((1 << 64) - 1)))
+    m = plan.M_mod128
+    m_arr = mul_u64_by_u128(jnp.ones((), dtype=_U64), m >> 64, m & ((1 << 64) - 1))
+    return where128(lift, sub128(c, m_arr), c)
+
+
+def negacyclic_polymul128(a128, b, log_bound: float) -> jnp.ndarray:
+    """Exact negacyclic product of a u128 polynomial [..., N, 2] with a
+    small-integer polynomial [..., N], mod 2^128 (the 128-bit analogue of
+    reference polynomial_algorithms.rs wrapping muls, as used by fft128)."""
+    n = a128.shape[-2]
+    plan = get_plan(n, required_num_primes(log_bound))
+    a_hat = ntt_forward128(plan, a128)
+    b_hat = ntt_forward(plan, b)
+    return garner_to_torus128(
+        plan, ntt_inverse(plan, pointwise_mul(plan, a_hat, b_hat)))
 
 
 def negacyclic_polymul(a, b, log_q: int, log_bound: float | None = None) -> jnp.ndarray:
