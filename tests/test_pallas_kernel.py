@@ -86,6 +86,32 @@ def test_pallas_odd_batch_padding(pkeys):
     np.testing.assert_array_equal(dec, [1, 5, 9])
 
 
+def test_pallas_mxu_blind_rotate_bit_exact(pkeys):
+    """MXU four-step kernel vs the butterfly kernel: both are exact integer
+    pipelines, so the rotated u64 accumulators must be bit-identical."""
+    from tfhe_tpu.core.poly.fourstep import perm_from_dif
+
+    f = lambda x: (3 * x + 1) % 16
+    acc = _lut(f)
+    msgs = jnp.arange(16, dtype=jnp.uint64) * DELTA
+    ct = encrypt_lwe(pkeys["enc_key"], pkeys["lwe_sk"], msgs, P.lwe_noise_std, 64)
+
+    rot_ref = blind_rotate_pallas(acc.data, ct.data, pkeys["paired"],
+                                  pkeys["paired_sh"], P.pbs_decomp,
+                                  block_b=8, interpret=True)
+    perm = jnp.asarray(perm_from_dif(P.polynomial_size))
+    rot_mxu = blind_rotate_pallas(acc.data, ct.data,
+                                  pkeys["paired"][..., perm],
+                                  pkeys["paired_sh"][..., perm], P.pbs_decomp,
+                                  block_b=8, interpret=True, mxu=True)
+    np.testing.assert_array_equal(np.asarray(rot_ref), np.asarray(rot_mxu))
+
+    out = sample_extract(GlweCiphertext(data=rot_mxu), 0)
+    dec = np.asarray((decrypt_lwe(out, pkeys["big_sk"], 64)
+                      + (DELTA >> np.uint64(1))) // DELTA) % 16
+    np.testing.assert_array_equal(dec, [(3 * i + 1) % 16 for i in range(16)])
+
+
 def test_pallas_multibit_matches_xla():
     """Fused multibit kernel (g=2) vs the XLA multibit path, interpret mode."""
     import dataclasses
@@ -97,7 +123,12 @@ def test_pallas_multibit_matches_xla():
         name="TEST_MB", grouping_factor=2,
         **{f.name: getattr(P, f.name)
            for f in dataclasses.fields(P) if f.name not in ("name", "ciphertext_modulus")})
-    ck, sk = shortint.gen_keys(params, seed=101)
+    from tfhe_tpu import config as _cfg
+    _cfg.set_use_mxu_ntt(False)   # keygen in DIF order; fourstep applied below
+    try:
+        ck, sk = shortint.gen_keys(params, seed=101)
+    finally:
+        _cfg.set_use_mxu_ntt(True)
     M = params.message_modulus
     msgs = jnp.arange(M, dtype=jnp.uint64)
     ct = ck.encrypt(msgs, seed=102)
@@ -121,3 +152,12 @@ def test_pallas_multibit_matches_xla():
     dec = np.asarray((decrypt_lwe(out, ck.big_sk, 64) + (d >> np.uint64(1))) // d) % (2 * M * params.carry_modulus)
     np.testing.assert_array_equal(ref, (np.arange(M) + 2) % M)
     np.testing.assert_array_equal(dec % M, (np.arange(M) + 2) % M)
+
+    # MXU four-step kernel: bit-identical rotated accumulator
+    from tfhe_tpu.core.poly.fourstep import perm_from_dif
+    perm = jnp.asarray(perm_from_dif(P.polynomial_size))
+    rotated_mxu = multi_bit_blind_rotate_pallas(
+        lut.acc.data, small.data, sk.bsk.data_u32[..., perm],
+        sk.bsk.shoup_u32[..., perm], sk.bsk.decomp, 2, block_b=8,
+        interpret=True, mxu=True)
+    np.testing.assert_array_equal(np.asarray(rotated), np.asarray(rotated_mxu))

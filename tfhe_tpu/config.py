@@ -27,3 +27,24 @@ def use_pallas_pbs() -> bool:
 def set_use_pallas_pbs(flag: bool):
     global _USE_PALLAS
     _USE_PALLAS = bool(flag)
+
+
+_USE_MXU: Optional[bool] = None
+
+
+def use_mxu_ntt() -> bool:
+    """Whether the Pallas kernel runs its NTTs on the MXU (four-step int8
+    matmul factorization, poly/fourstep.py) instead of VPU butterflies.
+    Decides the spectral ordering of NTT bootstrap keys at conversion time;
+    execution follows the ordering recorded on the key.  Override with
+    set_use_mxu_ntt or TFHE_TPU_MXU=0/1."""
+    global _USE_MXU
+    if _USE_MXU is None:
+        env = os.environ.get("TFHE_TPU_MXU")
+        _USE_MXU = env not in ("0", "false", "False") if env is not None else True
+    return _USE_MXU
+
+
+def set_use_mxu_ntt(flag: bool):
+    global _USE_MXU
+    _USE_MXU = bool(flag)

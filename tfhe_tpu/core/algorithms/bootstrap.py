@@ -152,7 +152,8 @@ def programmable_bootstrap(lwe: LweCiphertext, lut: GlweCiphertext,
         block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "16"))
         rotated = GlweCiphertext(data=blind_rotate_pallas(
             lut.data, lwe.data, bsk.paired, bsk.paired_shoup, bsk.decomp,
-            log_q=log_q, block_b=block_b))
+            log_q=log_q, block_b=block_b,
+            mxu=(bsk.paired_order == "fourstep")))
         return sample_extract(rotated, 0)
     rotated = blind_rotate(lut, lwe, bsk, log_q)
     return sample_extract(rotated, 0)

@@ -208,9 +208,16 @@ def bootstrap_key_to_ntt(bsk: LweBootstrapKey, log_q: int,
     # the fused kernel's approximate-mulhi Shoup path requires p < 2^30
     if log_q == 64 and all(p < (1 << 30) for p in plan.primes):
         paired, paired_sh = bootstrap_key_to_ntt_paired(key, log_q)
+        from ... import config
+        order = "dif"
+        if config.use_mxu_ntt():
+            from ..poly.fourstep import perm_from_dif
+            perm = jnp.asarray(perm_from_dif(n))
+            paired, paired_sh = paired[..., perm], paired_sh[..., perm]
+            order = "fourstep"
         key = NttLweBootstrapKey(data=hat, shoup=sh, paired=paired,
                                  paired_shoup=paired_sh, decomp=bsk.decomp,
-                                 log_q=log_q)
+                                 log_q=log_q, paired_order=order)
     return key
 
 

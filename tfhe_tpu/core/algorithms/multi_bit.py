@@ -55,6 +55,8 @@ class NttMultiBitBootstrapKey:
     decomp: DecompParams = struct.field(pytree_node=False, default=None)
     grouping_factor: int = struct.field(pytree_node=False, default=2)
     log_q: int = struct.field(pytree_node=False, default=64)
+    # spectral ordering of the u32 copies: 'dif' or 'fourstep' (MXU kernel)
+    u32_order: str = struct.field(pytree_node=False, default="dif")
 
     @property
     def num_groups(self) -> int:
@@ -114,10 +116,17 @@ def multi_bit_bootstrap_key_to_ntt(std_data, decomp: DecompParams,
     hat = hat.reshape(ng, nv, npr, levels * glwe_size, glwe_size, n)
     p64 = jnp.asarray(plan.p64[:, None, None, :])
     sh = (hat << U64(32)) // p64
+    from ... import config
+    order = "dif"
+    hat32, sh32 = hat.astype(jnp.uint32), sh.astype(jnp.uint32)
+    if config.use_mxu_ntt():
+        from ..poly.fourstep import perm_from_dif
+        perm = jnp.asarray(perm_from_dif(n))
+        hat32, sh32 = hat32[..., perm], sh32[..., perm]
+        order = "fourstep"
     return NttMultiBitBootstrapKey(data=hat, shoup=sh,
-                                   data_u32=hat.astype(jnp.uint32),
-                                   shoup_u32=sh.astype(jnp.uint32),
-                                   decomp=decomp,
+                                   data_u32=hat32, shoup_u32=sh32,
+                                   decomp=decomp, u32_order=order,
                                    grouping_factor=grouping_factor, log_q=log_q)
 
 

@@ -176,6 +176,9 @@ class NttLweBootstrapKey:
     paired_shoup: Any = None   # for the fused Pallas phase-domain rotation
     decomp: DecompParams = _static(default=None)
     log_q: int = _static(default=64)
+    # spectral ordering of `paired`: 'dif' (butterfly kernel) or 'fourstep'
+    # (MXU kernel, poly/fourstep.py) — execution follows this field
+    paired_order: str = _static(default="dif")
 
     @property
     def input_lwe_dimension(self) -> int:

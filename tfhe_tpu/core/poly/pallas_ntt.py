@@ -473,13 +473,299 @@ def blind_rotate_step_pallas(a_j, acc_hi, acc_lo, bsk_j, bsk_sh_j,
       jnp.asarray(t.mono), jnp.asarray(t.mono_sh))
 
 
+# ---------------------------------------------------------------------------
+# MXU variant: four-step NTT as int8 limb matmuls (fourstep.py)
+# ---------------------------------------------------------------------------
+
+
+def _i8_limbs(v2d, k_limbs: int, axis: int):
+    """u32 [R, C] -> int8 limbs (u_k - 128) stacked along `axis`."""
+    parts = [(((v2d >> U32(8 * i)) & U32(255)).astype(I32) - 128
+              ).astype(jnp.int8) for i in range(k_limbs)]
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _dot_i8(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+
+def _recombine_mxu(s_m, addend_m, d_add, consts, p):
+    """S'_m = S_m + addend_m nonneg < 2^26; returns u32 < 2p + 2^16,
+    congruent to sum_m 2^{8m} S'_m + d_add (mod p).  Exact 48-bit assembly
+    split at bit 24, then two lazy Shoup multiplies (fourstep.py docstring)."""
+    sp = [(s_m[m] + addend_m[m]).astype(U32) for m in range(4)]
+    a = sp[1] & U32(0xFFFF)
+    b = sp[1] >> U32(16)
+    c = sp[2] & U32(0xFF)
+    d = sp[2] >> U32(8)
+    low = sp[0] + (a << U32(8)) + (c << U32(16))
+    high = b + d + sp[3]
+    c24, c24s, c16, c16s = consts
+    t = _mulmod_lazy(high, U32(c24), U32(c24s), p)
+    y = low + t + d_add
+    return (y & U32(0xFFFF)) + _mulmod_lazy(y >> U32(16), U32(c16), U32(c16s), p)
+
+
+def _make_step_kernel_mxu(n: int, num_primes: int, glwe_size: int,
+                          decomp: DecompParams, primes, log_q: int = 64,
+                          grouping: int = 1):
+    """Fused blind-rotation step with the NTTs on the MXU.
+
+    Layout: every length-N array lives as [bt, N1, N2] (N2 = min(N, 128)
+    lanes, flat coefficient/spectral index = n1_idx*N2 + n2_idx); matmul
+    stages run on 2D views [bt*N1, N2].  See fourstep.py for the math."""
+    from . import fourstep as fs
+
+    G = grouping
+    V = 1 << G
+    log_2n = n.bit_length()
+    L4 = (log_2n + 1) // 2
+    P = num_primes
+    R = glwe_size
+    L = decomp.level
+    J = L * R
+    B_log = decomp.base_log
+    base = 1 << B_log
+    half_base = base >> 1
+    shift = log_q - B_log * L
+    assert shift >= 32
+    assert B_log <= 24, "digit-offset limb split assumes |digit| <= 2^23"
+    n1 = fs._split_nm(n)[0]
+    n2 = fs._split_nm(n)[1]
+    plan = get_plan(n, num_primes)
+    g_inv = [int(x) for x in plan.garner_inv]
+    g_w = [[int(x) for x in row] for row in plan.garner_weights]
+    prefix = [(int(x) >> 32, int(x) & 0xFFFFFFFF) for x in plan.prefix_mod]
+    m_mod = (plan.M_mod >> 32, plan.M_mod & 0xFFFFFFFF)
+    half_digits = [int(x) for x in plan.half_digits]
+    rc = [fs.recomb_consts(p) for p in primes]
+    d_right = [(-fs.BIAS_SUM) % p for p in primes]   # bias-only fold, dense stages
+
+    def kernel(a_ref, acc_hi_ref, acc_lo_ref, bsk_ref, bsk_sh_ref,
+               wfa_ref, ca_ref, da_ref, tf_ref, tf_sh_ref, wfb_ref, cb_ref,
+               wia_ref, cia_ref, ti_ref, ti_sh_ref, wib_ref, cib_ref, dib_ref,
+               mono_ref, mono_sh_ref, out_hi_ref, out_lo_ref):
+        bt = acc_hi_ref.shape[0]
+        rows = bt * n1
+
+        # ---- 1. decompose the accumulator from (hi, lo) -------------------
+        digits = [[None] * R for _ in range(L)]
+        for r in range(R):
+            hi = acc_hi_ref[:, r]                      # [bt, N1, N2]
+            lo = acc_lo_ref[:, r]
+            if shift - 1 >= 32:
+                hi_r = hi + U32(1 << (shift - 1 - 32))
+            else:
+                carry = (lo >= U32(0x80000000)).astype(U32)
+                hi_r = hi + carry
+            s = hi_r >> U32(shift - 32) if shift > 32 else hi_r
+            for li in range(L - 1, -1, -1):
+                raw = s & U32(base - 1)
+                carry = (raw + U32(half_base)) >> U32(B_log)
+                d = raw.astype(I32) - (carry.astype(I32) << B_log)
+                s = (s >> U32(B_log)) + carry
+                digits[li][r] = d
+
+        # ---- 2. forward four-step NTT per (level, component) ---------------
+        d_hat = [[None] * J for _ in range(P)]
+        for li in range(L):
+            for r in range(R):
+                u = (digits[li][r] + I32(fs.DIGIT_OFF)).astype(U32)
+                data3 = _i8_limbs(u.reshape(rows, n2), 3, axis=0)
+                for pi in range(P):
+                    p = U32(primes[pi])
+                    s = _dot_i8(wfa_ref[pi], data3)          # [4*rows, N2]
+                    s_m = [s[m * rows:(m + 1) * rows].reshape(bt, n1, n2)
+                           for m in range(4)]
+                    add_m = [ca_ref[pi, m] for m in range(4)]
+                    x1 = _recombine_mxu(s_m, add_m, da_ref[pi], rc[pi], p)
+                    x1 = _mulmod_lazy(x1, tf_ref[pi], tf_sh_ref[pi], p)
+                    data4 = _i8_limbs(x1.reshape(rows, n2), 4, axis=1)
+                    s2 = _dot_i8(data4, wfb_ref[pi])         # [rows, 4*N2]
+                    s2_m = [s2[:, m * n2:(m + 1) * n2] for m in range(4)]
+                    add2 = [cb_ref[pi, m] for m in range(4)]
+                    xh = _recombine_mxu(s2_m, add2, U32(d_right[pi]), rc[pi], p)
+                    d_hat[pi][li * R + r] = xh.reshape(bt, n1, n2)
+
+        # ---- 3. monomial phases: radix-4 exponentiation ---------------------
+        bit_pows = [[None] * G for _ in range(P)]
+        for pi in range(P):
+            p = U32(primes[pi])
+            for gi in range(G):
+                a_val = a_ref[:, gi:gi + 1]                  # [bt, 1] i32
+                acc_w = None
+                for lvl in range(L4):
+                    v = ((a_val >> (2 * lvl)) & 3)[..., None]   # [bt, 1, 1]
+                    t1 = mono_ref[lvl, 0, pi]
+                    tsel = jnp.where(v == 1, t1,
+                                     jnp.where(v == 2, mono_ref[lvl, 1, pi],
+                                               mono_ref[lvl, 2, pi]))
+                    ssel = jnp.where(v == 1, mono_sh_ref[lvl, 0, pi],
+                                     jnp.where(v == 2, mono_sh_ref[lvl, 1, pi],
+                                               mono_sh_ref[lvl, 2, pi]))
+                    if acc_w is None:
+                        ones = jnp.ones((bt, n1, n2), dtype=U32)
+                        acc_w = jnp.where(v == 0, ones, tsel)
+                    else:
+                        m = _mulmod(acc_w, tsel, ssel, p)
+                        acc_w = jnp.where(v == 0, acc_w, m)
+                bit_pows[pi][gi] = acc_w
+
+        # ---- 4. MAC over the 2^g GGSW variants ------------------------------
+        spec = [[None] * R for _ in range(P)]
+        for pi in range(P):
+            p = U32(primes[pi])
+            phases = {0: None}
+            for v in range(1, V):
+                ph = None
+                for gi in range(G):
+                    if (v >> (G - 1 - gi)) & 1:
+                        ph = (bit_pows[pi][gi] if ph is None else
+                              _mulmod_generic(ph, bit_pows[pi][gi], p, primes[pi]))
+                phases[v] = ph
+            for v in range(V):
+                ph = phases[v]
+                d_use = (d_hat[pi] if ph is None else
+                         [_mulmod_generic(d_hat[pi][j], ph, p, primes[pi])
+                          for j in range(J)])
+                for r in range(R):
+                    acc_s = spec[pi][r]
+                    for j in range(J):
+                        t0 = _mulmod_lazy(d_use[j], bsk_ref[v, pi, j, r],
+                                          bsk_sh_ref[v, pi, j, r], p)
+                        acc_s = t0 if acc_s is None else _condsub2p(acc_s + t0, p)
+                    spec[pi][r] = acc_s
+
+        # ---- 5. inverse four-step NTT ---------------------------------------
+        res = [[None] * R for _ in range(P)]
+        for pi in range(P):
+            p = U32(primes[pi])
+            for r in range(R):
+                v2 = spec[pi][r]                              # [bt,N1,N2] < 2p
+                data4 = _i8_limbs(v2.reshape(rows, n2), 4, axis=1)
+                s = _dot_i8(data4, wia_ref[pi])
+                s_m = [s[:, m * n2:(m + 1) * n2] for m in range(4)]
+                add_m = [cia_ref[pi, m] for m in range(4)]
+                d = _recombine_mxu(s_m, add_m, U32(d_right[pi]), rc[pi], p)
+                d = _mulmod_lazy(d.reshape(bt, n1, n2), ti_ref[pi],
+                                 ti_sh_ref[pi], p)
+                data4b = _i8_limbs(d.reshape(rows, n2), 4, axis=0)
+                s2 = _dot_i8(wib_ref[pi], data4b)            # [4*rows, N2]
+                s2_m = [s2[m * rows:(m + 1) * rows].reshape(bt, n1, n2)
+                        for m in range(4)]
+                add2 = [cib_ref[pi, m] for m in range(4)]
+                x = _recombine_mxu(s2_m, add2, dib_ref[pi], rc[pi], p)
+                x = _condsub2p(x, p)
+                res[pi][r] = jnp.where(x >= p, x - p, x)     # exact < p
+
+        # ---- 6. Garner CRT -> (hi, lo), signed lift, write -----------------
+        for r in range(R):
+            t = [res[0][r]]
+            for i in range(1, P):
+                pi_p = primes[i]
+                p = U32(pi_p)
+                acc_g = None
+                for jj in range(i):
+                    term = _mulmod(t[jj], U32(g_w[i][jj]),
+                                   U32(shoup_int(g_w[i][jj], pi_p)), p)
+                    acc_g = term if acc_g is None else _addmod(acc_g, term, p)
+                diff = _submod(res[i][r], acc_g, p)
+                t.append(_mulmod(diff, U32(g_inv[i]),
+                                 U32(shoup_int(g_inv[i], pi_p)), p))
+            c_lo = jnp.zeros_like(t[0])
+            c_hi = jnp.zeros_like(t[0])
+            for i in range(P):
+                phi, plo = U32(prefix[i][0]), U32(prefix[i][1])
+                lo_t = t[i] * plo
+                hi_t = _mulhi32(t[i], plo) + t[i] * phi
+                c_lo = c_lo + lo_t
+                carry = (c_lo < lo_t).astype(U32)
+                c_hi = c_hi + hi_t + carry
+            ge = jnp.zeros(t[0].shape, dtype=jnp.bool_)
+            eq = jnp.ones(t[0].shape, dtype=jnp.bool_)
+            for i in range(P - 1, -1, -1):
+                h = U32(half_digits[i])
+                ge = ge | (eq & (t[i] > h))
+                eq = eq & (t[i] == h)
+            m_hi, m_lo = U32(m_mod[0]), U32(m_mod[1])
+            borrow = (c_lo < m_lo).astype(U32)
+            sub_lo = c_lo - m_lo
+            sub_hi = c_hi - m_hi - borrow
+            sel = ge | eq
+            out_lo_ref[:, r] = jnp.where(sel, sub_lo, c_lo)
+            out_hi_ref[:, r] = jnp.where(sel, sub_hi, c_hi)
+
+    return kernel
+
+
+def blind_rotate_step_pallas_mxu(a_j, acc_hi, acc_lo, bsk_j, bsk_sh_j,
+                                 decomp: DecompParams, *, n: int,
+                                 num_primes: int, glwe_size: int,
+                                 block_b: int = 8, interpret: bool = False,
+                                 log_q: int = 64, grouping: int = 1):
+    """One fused MXU blind-rotation step over the whole batch.
+
+    a_j [B, g] int32, acc_hi/lo [B, R, N1, N2] u32,
+    bsk_j/bsk_sh_j [2^g, P, J, R, N1, N2] u32 in FOUR-STEP spectral order."""
+    from . import fourstep as fs
+
+    plan = get_plan(n, num_primes)
+    primes = [int(p) for p in plan.primes]
+    assert all(p < (1 << 30) for p in primes)
+    B = acc_hi.shape[0]
+    bt = min(block_b, B)
+    assert B % bt == 0
+    R = glwe_size
+    n1, n2 = fs._split_nm(n)
+    kt = fs.get_kernel_tables(n, num_primes, bt)
+    mono, mono_sh = fs.monomial_tables_fourstep(n, num_primes)
+    kernel = _make_step_kernel_mxu(n, num_primes, glwe_size, decomp, primes,
+                                   log_q, grouping=grouping)
+
+    grid = (B // bt,)
+    vm = pltpu.VMEM
+    zero = np.int32(0)
+
+    def bcast(shape):
+        return pl.BlockSpec(shape, lambda i, _z=zero, _r=len(shape):
+                            (_z,) * _r, memory_space=vm)
+
+    def tiled(shape):
+        return pl.BlockSpec((bt,) + shape[1:],
+                            lambda i, _z=zero, _r=len(shape) - 1:
+                            (i,) + (_z,) * _r, memory_space=vm)
+
+    tables = (kt.wfa, kt.ca, kt.da, kt.tf, kt.tf_sh, kt.wfb, kt.cb,
+              kt.wia, kt.cia, kt.ti, kt.ti_sh, kt.wib, kt.cib, kt.dib,
+              mono, mono_sh)
+    in_specs = ([pl.BlockSpec((bt, grouping), lambda i: (i, zero),
+                              memory_space=vm),
+                 tiled(acc_hi.shape), tiled(acc_lo.shape),
+                 bcast(bsk_j.shape), bcast(bsk_sh_j.shape)]
+                + [bcast(t.shape) for t in tables])
+    out_specs = (tiled(acc_hi.shape), tiled(acc_lo.shape))
+    out_shape = (jax.ShapeDtypeStruct(acc_hi.shape, jnp.uint32),
+                 jax.ShapeDtypeStruct(acc_lo.shape, jnp.uint32))
+    a2d = a_j.astype(jnp.int32)
+    if a2d.ndim == 1:
+        a2d = a2d[:, None]
+    return pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )(a2d, acc_hi, acc_lo, bsk_j, bsk_sh_j,
+      *(jnp.asarray(t) for t in tables))
+
+
 def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
                         decomp: DecompParams, log_q: int = 64,
-                        block_b: int = 8, interpret: bool = False):
+                        block_b: int = 8, interpret: bool = False,
+                        mxu: bool = False):
     """Full blind rotation with the fused step kernel.
 
     lut_data [R, N] u64 torus; lwe_data [B, n_in+1] u64;
-    paired_u32 [n_in, 2, P, J, R, N] u32 (+ shoup twin).
+    paired_u32 [n_in, 2, P, J, R, N] u32 (+ shoup twin) — in DIF spectral
+    order for the butterfly kernel, FOUR-STEP order when mxu=True.
     Returns the rotated accumulator [B, R, N] u64."""
     from ..algorithms.bootstrap import modulus_switch
     from . import monomial_mul
@@ -508,18 +794,31 @@ def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
         (2 * n - b_sw)[..., None])
     acc_hi = (acc >> jnp.uint64(32)).astype(jnp.uint32)
     acc_lo = acc.astype(jnp.uint32)
+    if mxu:
+        from .fourstep import _split_nm
+        n1, n2 = _split_nm(n)
+        acc_hi = acc_hi.reshape(acc_hi.shape[:-1] + (n1, n2))
+        acc_lo = acc_lo.reshape(acc_lo.shape[:-1] + (n1, n2))
+        paired_u32 = paired_u32.reshape(paired_u32.shape[:-1] + (n1, n2))
+        paired_sh_u32 = paired_sh_u32.reshape(paired_sh_u32.shape[:-1] + (n1, n2))
+        step_fn = functools.partial(blind_rotate_step_pallas_mxu,
+                                    block_b=block_b)
+    else:
+        step_fn = functools.partial(blind_rotate_step_pallas, block_b=block_b)
 
     def step(j, carry):
         hi, lo = carry
         aj = a_sw[..., j]
         bsk_j = jax.lax.dynamic_index_in_dim(paired_u32, j, 0, keepdims=False)
         sh_j = jax.lax.dynamic_index_in_dim(paired_sh_u32, j, 0, keepdims=False)
-        return blind_rotate_step_pallas(
+        return step_fn(
             aj, hi, lo, bsk_j, sh_j, decomp, n=n, num_primes=num_primes,
-            glwe_size=glwe_size, block_b=block_b, interpret=interpret,
-            log_q=log_q)
+            glwe_size=glwe_size, interpret=interpret, log_q=log_q)
 
     acc_hi, acc_lo = jax.lax.fori_loop(0, n_in, step, (acc_hi, acc_lo))
+    if mxu:
+        acc_hi = acc_hi.reshape(acc_hi.shape[:-2] + (n,))
+        acc_lo = acc_lo.reshape(acc_lo.shape[:-2] + (n,))
     out = (acc_hi.astype(jnp.uint64) << jnp.uint64(32)) | acc_lo.astype(jnp.uint64)
     out = out[:flat_b] if pad else out
     return out.reshape(batch + out.shape[-2:])
@@ -528,10 +827,11 @@ def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
 def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
                                   decomp: DecompParams, grouping: int,
                                   log_q: int = 64, block_b: int = 8,
-                                  interpret: bool = False):
+                                  interpret: bool = False, mxu: bool = False):
     """Fused multibit blind rotation: n/g steps, 2^g GGSW variants per step.
 
-    mb_u32 [n/g, 2^g, P, J, R, N] u32 (+ shoup twin)."""
+    mb_u32 [n/g, 2^g, P, J, R, N] u32 (+ shoup twin); four-step spectral
+    order when mxu=True."""
     from ..algorithms.bootstrap import modulus_switch
     from . import monomial_mul
 
@@ -558,6 +858,16 @@ def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
         (2 * n - b_sw)[..., None])
     acc_hi = (acc >> jnp.uint64(32)).astype(jnp.uint32)
     acc_lo = acc.astype(jnp.uint32)
+    if mxu:
+        from .fourstep import _split_nm
+        n1, n2 = _split_nm(n)
+        acc_hi = acc_hi.reshape(acc_hi.shape[:-1] + (n1, n2))
+        acc_lo = acc_lo.reshape(acc_lo.shape[:-1] + (n1, n2))
+        mb_u32 = mb_u32.reshape(mb_u32.shape[:-1] + (n1, n2))
+        mb_sh_u32 = mb_sh_u32.reshape(mb_sh_u32.shape[:-1] + (n1, n2))
+        step_kernel = blind_rotate_step_pallas_mxu
+    else:
+        step_kernel = blind_rotate_step_pallas
 
     def step(j, carry):
         hi, lo = carry
@@ -565,12 +875,15 @@ def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
                                              axis=-1)
         bsk_j = jax.lax.dynamic_index_in_dim(mb_u32, j, 0, keepdims=False)
         sh_j = jax.lax.dynamic_index_in_dim(mb_sh_u32, j, 0, keepdims=False)
-        return blind_rotate_step_pallas(
+        return step_kernel(
             a_grp, hi, lo, bsk_j, sh_j, decomp, n=n, num_primes=num_primes,
             glwe_size=glwe_size, block_b=bt, interpret=interpret,
             log_q=log_q, grouping=grouping)
 
     acc_hi, acc_lo = jax.lax.fori_loop(0, num_groups, step, (acc_hi, acc_lo))
+    if mxu:
+        acc_hi = acc_hi.reshape(acc_hi.shape[:-2] + (n,))
+        acc_lo = acc_lo.reshape(acc_lo.shape[:-2] + (n,))
     out = (acc_hi.astype(jnp.uint64) << jnp.uint64(32)) | acc_lo.astype(jnp.uint64)
     out = out[:flat_b] if pad else out
     return out.reshape(batch + out.shape[-2:])
