@@ -149,7 +149,7 @@ def programmable_bootstrap(lwe: LweCiphertext, lut: GlweCiphertext,
             and lut.data.ndim == 2):
         import os
         from ..poly.pallas_ntt import blind_rotate_pallas
-        block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "16"))
+        block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "8"))
         rotated = GlweCiphertext(data=blind_rotate_pallas(
             lut.data, lwe.data, bsk.paired, bsk.paired_shoup, bsk.decomp,
             log_q=log_q, block_b=block_b,

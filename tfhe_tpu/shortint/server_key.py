@@ -106,7 +106,7 @@ class ServerKey:
                     and acc.data.ndim == 2):
                 import os
                 from ..core.poly.pallas_ntt import multi_bit_blind_rotate_pallas
-                block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "16"))
+                block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "8"))
                 rotated = GlweCiphertext(data=multi_bit_blind_rotate_pallas(
                     acc.data, lwe.data, self.bsk.data_u32, self.bsk.shoup_u32,
                     self.bsk.decomp, self.bsk.grouping_factor, log_q=LOG_Q,
