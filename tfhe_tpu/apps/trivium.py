@@ -45,10 +45,17 @@ class TriviumStream:
                    for b in key_bits]
         zeros = trivial(False)
         ones = trivial(True)
-        # registers: A = 93 (key in front), B = 84 (iv), C = 111 (ones tail)
+        # key[i]/iv[i] follow the reference convention (bit i of the eSTREAM
+        # byte stream, LSB-first within bytes); the flat state here keeps the
+        # NEWEST bit at s[0], so the loaded segments are reversed.  Pinned
+        # against the official test vectors (tests/test_trivium.py).
+        key_f = list(enc_key) + [zeros] * (self.KEY_BITS - len(enc_key))
+        iv_f = ([trivial(bool(b)) for b in iv_bits]
+                + [zeros] * (self.IV_BITS - len(iv_bits)))
+        # registers: A = 93 (key, reversed), B = 84 (iv, reversed), C = 111
         self.state: List[B.BoolCiphertext] = (
-            list(enc_key) + [zeros] * (93 - len(enc_key))
-            + [trivial(bool(b)) for b in iv_bits] + [zeros] * (84 - len(iv_bits))
+            key_f[::-1] + [zeros] * 13
+            + iv_f[::-1] + [zeros] * 4
             + [zeros] * 108 + [ones] * 3)
         for _ in range(warmup_rounds):
             self._clock()
@@ -93,12 +100,16 @@ class KreyviumStream(TriviumStream):
         self.sk = sk
         zeros = trivial(False)
         ones = trivial(True)
-        self.k_reg = list(enc_key[::-1])            # K* shift register
-        self.iv_reg = [trivial(bool(b)) for b in iv_bits[::-1]]
-        self.state = (list(enc_key[:93])
-                      + [trivial(bool(b)) for b in iv_bits[:84]]
-                      + [trivial(bool(b)) for b in iv_bits[84:]]
-                      + [ones] * (111 - 44 - 1) + [zeros])
+        enc_iv = [trivial(bool(b)) for b in iv_bits]
+        self.k_reg = list(enc_key[::-1])            # K* taps key[127], key[126], ...
+        self.iv_reg = list(enc_iv[::-1])
+        # A = key[35:128] reversed; B = iv[44:128] reversed;
+        # C = iv[0:44] reversed + 66 ones + one zero (newest-at-s[0] layout;
+        # pinned against the official Kreyvium vectors)
+        self.state = (enc_key[35:][::-1]
+                      + enc_iv[44:][::-1]
+                      + enc_iv[:44][::-1]
+                      + [ones] * 66 + [zeros])
         for _ in range(warmup_rounds):
             self._clock()
 
@@ -130,8 +141,10 @@ class KreyviumStream(TriviumStream):
 
 def clear_trivium_keystream(key_bits, iv_bits, n: int,
                             warmup_rounds: int = 4 * 288) -> List[int]:
-    s = (list(key_bits) + [0] * (93 - len(key_bits))
-         + list(iv_bits) + [0] * (84 - len(iv_bits))
+    key_f = list(key_bits) + [0] * (80 - len(key_bits))
+    iv_f = list(iv_bits) + [0] * (80 - len(iv_bits))
+    s = (key_f[::-1] + [0] * 13
+         + iv_f[::-1] + [0] * 4
          + [0] * 108 + [1, 1, 1])
     out = []
     for r in range(warmup_rounds + n):
@@ -152,8 +165,8 @@ def clear_kreyvium_keystream(key_bits, iv_bits, n: int,
                              warmup_rounds: int = 4 * 288) -> List[int]:
     key_bits = list(key_bits)
     iv_bits = list(iv_bits)
-    s = (key_bits[:93] + iv_bits[:84] + iv_bits[84:]
-         + [1] * (111 - 44 - 1) + [0])
+    s = (key_bits[35:][::-1] + iv_bits[44:][::-1] + iv_bits[:44][::-1]
+         + [1] * 66 + [0])
     k_reg = key_bits[::-1]
     iv_reg = iv_bits[::-1]
     out = []
