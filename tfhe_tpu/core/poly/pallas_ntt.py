@@ -313,7 +313,7 @@ def _make_step_kernel(n: int, num_primes: int, glwe_size: int,
                 for r in range(R):
                     acc_s = spec[pi][r]
                     for j in range(J):
-                        # d_use < 2p (lazy) or < p (generic): both < 4p OK
+                        # d_use any u32 (lazy and generic both accept it)
                         t0 = _mulmod_lazy(d_use[j], vec(bsk_ref[v, pi, j, r, :]),
                                           vec(bsk_sh_ref[v, pi, j, r, :]), p)
                         acc_s = t0 if acc_s is None else _condsub2p(acc_s + t0, p)
@@ -384,23 +384,24 @@ def _make_step_kernel(n: int, num_primes: int, glwe_size: int,
 
 
 def _mulmod_generic(a, b, p_u32, p_int: int):
-    """a*b mod p for two dynamic u32 operands (no precomputed Shoup):
-    Montgomery-free double-width reduction via 16-bit limbs.
-
-    a·b = hi·2^32 + lo; result = (hi·(2^32 mod p) + lo) mod p, applied twice
-    to bring hi under control.  All values < p < 2^31."""
+    """Lazy a*b (mod p) for two dynamic u32 operands (no precomputed Shoup):
+    exact double-width product via 16-bit limbs, then congruent-mod-p
+    recombination.  Accepts ANY u32 inputs; the result is < 2^32 - p and only
+    CONGRUENT to a*b mod p (not fully reduced) — every consumer is a Harvey
+    lazy multiply or another generic multiply, both exact for any u32."""
     hi = _mulhi32(a, b)
     lo = a * b
     r32 = (1 << 32) % p_int
     r32_sh = shoup_int(r32, p_int)
-    # hi < p < 2^31; hi·r32 mod p via Shoup with constant r32
-    part = _mulmod(hi, U32(r32), U32(r32_sh), p_u32)
-    # lo mod p: lo < 2^32 < 2p·something — reduce by conditional subtractions
+    # hi·r32 mod-ish p via one lazy Shoup multiply (result < 2p)
+    part = _mulmod_lazy(hi, U32(r32), U32(r32_sh), p_u32)
+    # bring lo under ~p by conditional subtractions (lo < 2^32, p ≈ 2^30:
+    # 3 subtractions leave lo_red < 2^32 - 3p, a congruent near-p value)
     lo_red = lo
-    # lo < 2^32, primes are > 2^30.7 → at most 3 subtractions
     for _ in range(3):
         lo_red = jnp.where(lo_red >= p_u32, lo_red - p_u32, lo_red)
-    return _addmod(part, lo_red, p_u32)
+    # part < 2p, lo_red < 2^32 - 3p  ⇒  sum < 2^32 - p: no u32 overflow
+    return part + lo_red
 
 
 # ---------------------------------------------------------------------------
@@ -490,10 +491,16 @@ def _dot_i8(a, b):
                                preferred_element_type=jnp.int32)
 
 
-def _recombine_mxu(s_m, addend_m, d_add, consts, p):
-    """S'_m = S_m + addend_m nonneg < 2^26; returns u32 < 2p + 2^16,
-    congruent to sum_m 2^{8m} S'_m + d_add (mod p).  Exact 48-bit assembly
-    split at bit 24, then two lazy Shoup multiplies (fourstep.py docstring)."""
+def _recombine_mxu(s_m, addend_m, d_add, consts, p, fold: bool = True):
+    """S'_m = S_m + addend_m nonneg < 2^26; returns u32 congruent to
+    sum_m 2^{8m} S'_m + d_add (mod p).  Exact 48-bit assembly split at bit
+    24, then lazy Shoup multiplies (fourstep.py docstring).
+
+    fold=True: one extra lazy multiply folds the result under 2p + 2^16.
+    fold=False: returns the raw assembly y < 2^32 directly — valid whenever
+    the consumer is a Harvey lazy or generic multiply (both exact for any
+    u32 operand); bound: low < 1.5*2^26, t < 2p < 2^31, d_add < p < 2^30
+    ⇒ y < 0.8 * 2^32."""
     sp = [(s_m[m] + addend_m[m]).astype(U32) for m in range(4)]
     a = sp[1] & U32(0xFFFF)
     b = sp[1] >> U32(16)
@@ -504,6 +511,8 @@ def _recombine_mxu(s_m, addend_m, d_add, consts, p):
     c24, c24s, c16, c16s = consts
     t = _mulmod_lazy(high, U32(c24), U32(c24s), p)
     y = low + t + d_add
+    if not fold:
+        return y
     return (y & U32(0xFFFF)) + _mulmod_lazy(y >> U32(16), U32(c16), U32(c16s), p)
 
 
@@ -579,13 +588,17 @@ def _make_step_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                     s_m = [s[m * rows:(m + 1) * rows].reshape(bt, n1, n2)
                            for m in range(4)]
                     add_m = [ca_ref[pi, m] for m in range(4)]
-                    x1 = _recombine_mxu(s_m, add_m, da_ref[pi], rc[pi], p)
+                    # fold=False: the next op is a lazy multiply (any-u32)
+                    x1 = _recombine_mxu(s_m, add_m, da_ref[pi], rc[pi], p,
+                                        fold=False)
                     x1 = _mulmod_lazy(x1, tf_ref[pi], tf_sh_ref[pi], p)
                     data4 = _i8_limbs(x1.reshape(rows, n2), 4, axis=1)
                     s2 = _dot_i8(data4, wfb_ref[pi])         # [rows, 4*N2]
                     s2_m = [s2[:, m * n2:(m + 1) * n2] for m in range(4)]
                     add2 = [cb_ref[pi, m] for m in range(4)]
-                    xh = _recombine_mxu(s2_m, add2, U32(d_right[pi]), rc[pi], p)
+                    # fold=False: consumed by the MAC's lazy/generic multiplies
+                    xh = _recombine_mxu(s2_m, add2, U32(d_right[pi]), rc[pi],
+                                        p, fold=False)
                     d_hat[pi][li * R + r] = xh.reshape(bt, n1, n2)
 
         # ---- 3. monomial phases: radix-4 exponentiation ---------------------
@@ -608,7 +621,9 @@ def _make_step_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                         ones = jnp.ones((bt, n1, n2), dtype=U32)
                         acc_w = jnp.where(v == 0, ones, tsel)
                     else:
-                        m = _mulmod(acc_w, tsel, ssel, p)
+                        # lazy ladder: acc_w stays < 2p; consumers (generic
+                        # multiplies) are exact for any u32
+                        m = _mulmod_lazy(acc_w, tsel, ssel, p)
                         acc_w = jnp.where(v == 0, acc_w, m)
                 bit_pows[pi][gi] = acc_w
 
@@ -647,7 +662,9 @@ def _make_step_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                 s = _dot_i8(data4, wia_ref[pi])
                 s_m = [s[:, m * n2:(m + 1) * n2] for m in range(4)]
                 add_m = [cia_ref[pi, m] for m in range(4)]
-                d = _recombine_mxu(s_m, add_m, U32(d_right[pi]), rc[pi], p)
+                # fold=False: the next op is a lazy multiply (any-u32)
+                d = _recombine_mxu(s_m, add_m, U32(d_right[pi]), rc[pi], p,
+                                   fold=False)
                 d = _mulmod_lazy(d.reshape(bt, n1, n2), ti_ref[pi],
                                  ti_sh_ref[pi], p)
                 data4b = _i8_limbs(d.reshape(rows, n2), 4, axis=0)
