@@ -86,11 +86,12 @@ def test_pallas_odd_batch_padding(pkeys):
     np.testing.assert_array_equal(dec, [1, 5, 9])
 
 
-def test_pallas_mxu_blind_rotate_bit_exact(pkeys):
-    """MXU four-step kernel vs the butterfly kernel: both are exact integer
-    pipelines, so the rotated u64 accumulators must be bit-identical."""
-    from tfhe_tpu.core.poly.fourstep import perm_from_dif
-
+def test_pallas_mxu_delta_blind_rotate(pkeys):
+    """MXU four-step delta-CMUX kernel (plain GGSW spectra + table-gathered
+    (X^a - 1) phases) vs the paired butterfly kernel.  The delta form keeps
+    the accumulator's sub-gadget bits (no trivial-gadget rounding term), so
+    the rotated accumulators differ in low noise bits — but both must
+    decrypt to the same LUT outputs."""
     f = lambda x: (3 * x + 1) % 16
     acc = _lut(f)
     msgs = jnp.arange(16, dtype=jnp.uint64) * DELTA
@@ -99,17 +100,19 @@ def test_pallas_mxu_blind_rotate_bit_exact(pkeys):
     rot_ref = blind_rotate_pallas(acc.data, ct.data, pkeys["paired"],
                                   pkeys["paired_sh"], P.pbs_decomp,
                                   block_b=8, interpret=True)
-    perm = jnp.asarray(perm_from_dif(P.polynomial_size))
-    rot_mxu = blind_rotate_pallas(acc.data, ct.data,
-                                  pkeys["paired"][..., perm],
-                                  pkeys["paired_sh"][..., perm], P.pbs_decomp,
+    # the default key conversion (use_mxu_ntt) records the delta fourstep form
+    bsk = pkeys["bsk"]
+    assert bsk.paired_order == "fourstep" and bsk.paired.ndim == 5
+    rot_mxu = blind_rotate_pallas(acc.data, ct.data, bsk.paired,
+                                  bsk.paired_shoup, P.pbs_decomp,
                                   block_b=8, interpret=True, mxu=True)
-    np.testing.assert_array_equal(np.asarray(rot_ref), np.asarray(rot_mxu))
 
-    out = sample_extract(GlweCiphertext(data=rot_mxu), 0)
-    dec = np.asarray((decrypt_lwe(out, pkeys["big_sk"], 64)
-                      + (DELTA >> np.uint64(1))) // DELTA) % 16
-    np.testing.assert_array_equal(dec, [(3 * i + 1) % 16 for i in range(16)])
+    expect = [(3 * i + 1) % 16 for i in range(16)]
+    for rot in (rot_ref, rot_mxu):
+        out = sample_extract(GlweCiphertext(data=rot), 0)
+        dec = np.asarray((decrypt_lwe(out, pkeys["big_sk"], 64)
+                          + (DELTA >> np.uint64(1))) // DELTA) % 16
+        np.testing.assert_array_equal(dec, expect)
 
 
 def test_pallas_multibit_matches_xla():

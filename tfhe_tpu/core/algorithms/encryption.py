@@ -207,16 +207,25 @@ def bootstrap_key_to_ntt(bsk: LweBootstrapKey, log_q: int,
     key = NttLweBootstrapKey(data=hat, shoup=sh, decomp=bsk.decomp, log_q=log_q)
     # the fused kernel's approximate-mulhi Shoup path requires p < 2^30
     if log_q == 64 and all(p < (1 << 30) for p in plan.primes):
-        paired, paired_sh = bootstrap_key_to_ntt_paired(key, log_q)
         from ... import config
-        order = "dif"
         if config.use_mxu_ntt():
-            from ..poly.fourstep import perm_from_dif
+            # MXU kernel runs the delta-CMUX step — it needs only the plain
+            # GGSW(s) spectra (u32 + shoup), permuted to four-step order;
+            # phases come from the full-exponent HBM table at rotation time.
+            from ..poly.fourstep import monomial_full_tables, perm_from_dif
             perm = jnp.asarray(perm_from_dif(n))
-            paired, paired_sh = paired[..., perm], paired_sh[..., perm]
+            paired = hat.astype(jnp.uint32)[..., perm]
+            paired_sh = sh.astype(jnp.uint32)[..., perm]
+            tab, tab_sh = monomial_full_tables(n, num_primes, True)
+            mono, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
             order = "fourstep"
+        else:
+            paired, paired_sh = bootstrap_key_to_ntt_paired(key, log_q)
+            mono = mono_sh = None
+            order = "dif"
         key = NttLweBootstrapKey(data=hat, shoup=sh, paired=paired,
-                                 paired_shoup=paired_sh, decomp=bsk.decomp,
+                                 paired_shoup=paired_sh, mono=mono,
+                                 mono_shoup=mono_sh, decomp=bsk.decomp,
                                  log_q=log_q, paired_order=order)
     return key
 

@@ -52,6 +52,11 @@ class NttMultiBitBootstrapKey:
     shoup: jnp.ndarray = None
     data_u32: jnp.ndarray = None
     shoup_u32: jnp.ndarray = None
+    # full-exponent X^e phase tables [2N, P, N1, N2] u32 + shoup for the MXU
+    # kernel's gathered variant phases (fourstep.monomial_full_tables).
+    # Derivable from (N, P); serialization regenerates them on load.
+    mono: jnp.ndarray = None
+    mono_shoup: jnp.ndarray = None
     decomp: DecompParams = struct.field(pytree_node=False, default=None)
     grouping_factor: int = struct.field(pytree_node=False, default=2)
     log_q: int = struct.field(pytree_node=False, default=64)
@@ -118,14 +123,18 @@ def multi_bit_bootstrap_key_to_ntt(std_data, decomp: DecompParams,
     sh = (hat << U64(32)) // p64
     from ... import config
     order = "dif"
+    mono = mono_sh = None
     hat32, sh32 = hat.astype(jnp.uint32), sh.astype(jnp.uint32)
     if config.use_mxu_ntt():
-        from ..poly.fourstep import perm_from_dif
+        from ..poly.fourstep import monomial_full_tables, perm_from_dif
         perm = jnp.asarray(perm_from_dif(n))
         hat32, sh32 = hat32[..., perm], sh32[..., perm]
+        tab, tab_sh = monomial_full_tables(n, npr, False)
+        mono, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
         order = "fourstep"
     return NttMultiBitBootstrapKey(data=hat, shoup=sh,
                                    data_u32=hat32, shoup_u32=sh32,
+                                   mono=mono, mono_shoup=mono_sh,
                                    decomp=decomp, u32_order=order,
                                    grouping_factor=grouping_factor, log_q=log_q)
 

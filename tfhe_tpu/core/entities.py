@@ -172,12 +172,23 @@ class NttLweBootstrapKey:
 
     data: Any
     shoup: Any = None
-    paired: Any = None         # [n, 2, P, J, R, N] u32 — GGSW(1-s), GGSW(s)
-    paired_shoup: Any = None   # for the fused Pallas phase-domain rotation
+    # u32 spectra for the fused Pallas rotation + shoup twin.
+    # 'dif' order (VPU butterfly kernel): [n, 2, P, J, R, N] — the paired
+    # (GGSW(1-s), GGSW(s)) phase-domain form.
+    # 'fourstep' order (MXU kernel): [n, P, J, R, N] — plain GGSW(s) spectra;
+    # the step runs as a delta-CMUX with table-gathered (X^a - 1) phases.
+    paired: Any = None
+    paired_shoup: Any = None
+    # full-exponent (X^a - 1) phase tables [2N, P, N1, N2] u32 + shoup for
+    # the MXU delta-CMUX kernel (fourstep.monomial_full_tables).  Derivable
+    # from (N, P): serialization stores a marker and regenerates on load.
+    # Carried on the key so they ride jit boundaries as runtime buffers
+    # instead of being baked into HLO as 128 MB constants.
+    mono: Any = None
+    mono_shoup: Any = None
     decomp: DecompParams = _static(default=None)
     log_q: int = _static(default=64)
-    # spectral ordering of `paired`: 'dif' (butterfly kernel) or 'fourstep'
-    # (MXU kernel, poly/fourstep.py) — execution follows this field
+    # spectral ordering of `paired` — execution follows this field
     paired_order: str = _static(default="dif")
 
     @property

@@ -324,6 +324,46 @@ def recomb_consts(p: int) -> tuple[int, int, int, int]:
 
 
 @functools.lru_cache(maxsize=None)
+def monomial_full_tables(n: int, num_primes: int, minus_one: bool):
+    """Spectra (four-step order) of X^e — or (X^e - 1) when minus_one — for
+    EVERY exponent e in [0, 2n): u32 [2n, P, N1, N2], plus the Shoup twin.
+
+    The table lives in HBM (~128 MB per array at N = 2048, P = 4); the
+    blind-rotation driver gathers one row per (batch element, step) by the
+    mod-switched exponent.  This replaces the in-kernel radix-4
+    exponentiation ladder outright and gives every phase a precomputed Shoup
+    quotient, so the kernel's phase multiplies are all lazy Shoup multiplies
+    (4 VPU multiplies) instead of generic double-width ones.
+
+    X^e evaluates to psi^{e(2k+1)} at frequency k; position (k1, k2) holds
+    frequency k2*N1 + k1.  The minus_one form backs the delta-CMUX classic
+    step  acc += iNTT((X^a - 1)-phase * (GGSW(s) spectral-MAC acc))."""
+    plan = get_plan(n, num_primes)
+    n1, n2 = _split_nm(n)
+    P = num_primes
+    k1g, k2g = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
+    kfreq = (k2g * n1 + k1g).reshape(-1).astype(np.int64)        # [N]
+    e = np.arange(2 * n, dtype=np.int64)
+    idx = (e[:, None] * (2 * kfreq[None, :] + 1)) % (2 * n)      # [2n, N]
+    tab = np.empty((2 * n, P, n), dtype=np.uint32)
+    sh = np.empty_like(tab)
+    for pi, p in enumerate(plan.primes):
+        p = int(p)
+        psi = int(plan.twist[0][pi][1]) if n > 1 else 1
+        pows = np.empty(2 * n, dtype=np.uint64)
+        acc = 1
+        for ee in range(2 * n):
+            pows[ee] = acc
+            acc = (acc * psi) % p
+        v = pows[idx]                                            # [2n, N] u64
+        if minus_one:
+            v = (v + np.uint64(p - 1)) % np.uint64(p)
+        tab[:, pi] = v.astype(np.uint32)
+        sh[:, pi] = ((v << np.uint64(32)) // np.uint64(p)).astype(np.uint32)
+    return (tab.reshape(2 * n, P, n1, n2), sh.reshape(2 * n, P, n1, n2))
+
+
+@functools.lru_cache(maxsize=None)
 def monomial_tables_fourstep(n: int, num_primes: int):
     """Spectra of X^(v * 4^lvl) (v in 1..3) in four-step order, u32 + shoup:
     [L4, 3, P, N1, N2].  X^e evaluates to psi^{e(2k+1)} at frequency k;

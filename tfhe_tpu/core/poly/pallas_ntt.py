@@ -518,18 +518,31 @@ def _recombine_mxu(s_m, addend_m, d_add, consts, p, fold: bool = True):
 
 def _make_step_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                           decomp: DecompParams, primes, log_q: int = 64,
-                          grouping: int = 1):
+                          grouping: int = 1, mode: str = "delta"):
     """Fused blind-rotation step with the NTTs on the MXU.
 
     Layout: every length-N array lives as [bt, N1, N2] (N2 = min(N, 128)
     lanes, flat coefficient/spectral index = n1_idx*N2 + n2_idx); matmul
-    stages run on 2D views [bt*N1, N2].  See fourstep.py for the math."""
+    stages run on 2D views [bt*N1, N2].  See fourstep.py for the math.
+
+    Monomial phases arrive PRE-GATHERED from the full-exponent HBM tables
+    (fourstep.monomial_full_tables) — no in-kernel exponentiation ladder —
+    with Shoup twins, so every phase multiply is a lazy Shoup multiply.
+
+    mode="delta" (classic): the step is the standard CMUX in delta form,
+        acc += iNTT( (X^a - 1)-phase ⊙ (GGSW(s) spectral-MAC acc) ),
+    with the (X^a - 1) spectrum gathered per batch element: ph [bt, P, N].
+    One GGSW per step (bsk [P, J, R, N]) — half the paired form's traffic,
+    J*R fewer lazy multiplies, and no trivial-gadget rounding term.
+
+    mode="multibit": acc = iNTT( Σ_v (X^{c_v}-phase_v ⊙ d̂) MAC GGSW_v ),
+    phases for variants v=1..V-1 gathered per step: ph [bt, V-1, P, N]
+    (variant 0 has exponent 0, phase 1)."""
     from . import fourstep as fs
 
+    assert mode in ("delta", "multibit")
     G = grouping
     V = 1 << G
-    log_2n = n.bit_length()
-    L4 = (log_2n + 1) // 2
     P = num_primes
     R = glwe_size
     L = decomp.level
@@ -551,10 +564,10 @@ def _make_step_kernel_mxu(n: int, num_primes: int, glwe_size: int,
     rc = [fs.recomb_consts(p) for p in primes]
     d_right = [(-fs.BIAS_SUM) % p for p in primes]   # bias-only fold, dense stages
 
-    def kernel(a_ref, acc_hi_ref, acc_lo_ref, bsk_ref, bsk_sh_ref,
+    def kernel(ph_ref, ph_sh_ref, acc_hi_ref, acc_lo_ref, bsk_ref, bsk_sh_ref,
                wfa_ref, ca_ref, da_ref, tf_ref, tf_sh_ref, wfb_ref, cb_ref,
                wia_ref, cia_ref, ti_ref, ti_sh_ref, wib_ref, cib_ref, dib_ref,
-               mono_ref, mono_sh_ref, out_hi_ref, out_lo_ref):
+               out_hi_ref, out_lo_ref):
         bt = acc_hi_ref.shape[0]
         rows = bt * n1
 
@@ -601,56 +614,39 @@ def _make_step_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                                         p, fold=False)
                     d_hat[pi][li * R + r] = xh.reshape(bt, n1, n2)
 
-        # ---- 3. monomial phases: radix-4 exponentiation ---------------------
-        bit_pows = [[None] * G for _ in range(P)]
-        for pi in range(P):
-            p = U32(primes[pi])
-            for gi in range(G):
-                a_val = a_ref[:, gi:gi + 1]                  # [bt, 1] i32
-                acc_w = None
-                for lvl in range(L4):
-                    v = ((a_val >> (2 * lvl)) & 3)[..., None]   # [bt, 1, 1]
-                    t1 = mono_ref[lvl, 0, pi]
-                    tsel = jnp.where(v == 1, t1,
-                                     jnp.where(v == 2, mono_ref[lvl, 1, pi],
-                                               mono_ref[lvl, 2, pi]))
-                    ssel = jnp.where(v == 1, mono_sh_ref[lvl, 0, pi],
-                                     jnp.where(v == 2, mono_sh_ref[lvl, 1, pi],
-                                               mono_sh_ref[lvl, 2, pi]))
-                    if acc_w is None:
-                        ones = jnp.ones((bt, n1, n2), dtype=U32)
-                        acc_w = jnp.where(v == 0, ones, tsel)
-                    else:
-                        # lazy ladder: acc_w stays < 2p; consumers (generic
-                        # multiplies) are exact for any u32
-                        m = _mulmod_lazy(acc_w, tsel, ssel, p)
-                        acc_w = jnp.where(v == 0, acc_w, m)
-                bit_pows[pi][gi] = acc_w
-
-        # ---- 4. MAC over the 2^g GGSW variants ------------------------------
+        # ---- 3+4. MAC with pre-gathered monomial phases ---------------------
+        # _mulmod_lazy is exact for ANY u32 left operand (r = a*w - q*p stays
+        # < 4p for a < 2^32), so the fold=False fwd-NTT outputs feed straight
+        # into phase/BSK lazy multiplies.
         spec = [[None] * R for _ in range(P)]
-        for pi in range(P):
-            p = U32(primes[pi])
-            phases = {0: None}
-            for v in range(1, V):
-                ph = None
-                for gi in range(G):
-                    if (v >> (G - 1 - gi)) & 1:
-                        ph = (bit_pows[pi][gi] if ph is None else
-                              _mulmod_generic(ph, bit_pows[pi][gi], p, primes[pi]))
-                phases[v] = ph
-            for v in range(V):
-                ph = phases[v]
-                d_use = (d_hat[pi] if ph is None else
-                         [_mulmod_generic(d_hat[pi][j], ph, p, primes[pi])
-                          for j in range(J)])
+        if mode == "delta":
+            for pi in range(P):
+                p = U32(primes[pi])
                 for r in range(R):
-                    acc_s = spec[pi][r]
+                    acc_s = None
                     for j in range(J):
-                        t0 = _mulmod_lazy(d_use[j], bsk_ref[v, pi, j, r],
-                                          bsk_sh_ref[v, pi, j, r], p)
+                        t0 = _mulmod_lazy(d_hat[pi][j], bsk_ref[pi, j, r],
+                                          bsk_sh_ref[pi, j, r], p)
                         acc_s = t0 if acc_s is None else _condsub2p(acc_s + t0, p)
-                    spec[pi][r] = acc_s
+                    # (X^a - 1) phase on the product spectrum: one lazy mul
+                    spec[pi][r] = _mulmod_lazy(acc_s, ph_ref[:, pi],
+                                               ph_sh_ref[:, pi], p)
+        else:
+            for pi in range(P):
+                p = U32(primes[pi])
+                for v in range(V):
+                    d_use = (d_hat[pi] if v == 0 else
+                             [_mulmod_lazy(d_hat[pi][j], ph_ref[:, v - 1, pi],
+                                           ph_sh_ref[:, v - 1, pi], p)
+                              for j in range(J)])
+                    for r in range(R):
+                        acc_s = spec[pi][r]
+                        for j in range(J):
+                            t0 = _mulmod_lazy(d_use[j], bsk_ref[v, pi, j, r],
+                                              bsk_sh_ref[v, pi, j, r], p)
+                            acc_s = (t0 if acc_s is None else
+                                     _condsub2p(acc_s + t0, p))
+                        spec[pi][r] = acc_s
 
         # ---- 5. inverse four-step NTT ---------------------------------------
         res = [[None] * R for _ in range(P)]
@@ -710,21 +706,35 @@ def _make_step_kernel_mxu(n: int, num_primes: int, glwe_size: int,
             sub_lo = c_lo - m_lo
             sub_hi = c_hi - m_hi - borrow
             sel = ge | eq
-            out_lo_ref[:, r] = jnp.where(sel, sub_lo, c_lo)
-            out_hi_ref[:, r] = jnp.where(sel, sub_hi, c_hi)
+            d_lo = jnp.where(sel, sub_lo, c_lo)
+            d_hi = jnp.where(sel, sub_hi, c_hi)
+            if mode == "delta":
+                # acc += delta (two-limb wraparound add mod 2^64)
+                s_lo = acc_lo_ref[:, r] + d_lo
+                carry = (s_lo < d_lo).astype(U32)
+                out_lo_ref[:, r] = s_lo
+                out_hi_ref[:, r] = acc_hi_ref[:, r] + d_hi + carry
+            else:
+                out_lo_ref[:, r] = d_lo
+                out_hi_ref[:, r] = d_hi
 
     return kernel
 
 
-def blind_rotate_step_pallas_mxu(a_j, acc_hi, acc_lo, bsk_j, bsk_sh_j,
+def blind_rotate_step_pallas_mxu(ph, ph_sh, acc_hi, acc_lo, bsk_j, bsk_sh_j,
                                  decomp: DecompParams, *, n: int,
                                  num_primes: int, glwe_size: int,
                                  block_b: int = 8, interpret: bool = False,
-                                 log_q: int = 64, grouping: int = 1):
+                                 log_q: int = 64, grouping: int = 1,
+                                 mode: str = "delta"):
     """One fused MXU blind-rotation step over the whole batch.
 
-    a_j [B, g] int32, acc_hi/lo [B, R, N1, N2] u32,
-    bsk_j/bsk_sh_j [2^g, P, J, R, N1, N2] u32 in FOUR-STEP spectral order."""
+    acc_hi/lo [B, R, N1, N2] u32; phases pre-gathered from the full-exponent
+    tables (fourstep.monomial_full_tables), FOUR-STEP spectral order:
+      mode="delta":    ph [B, P, N1, N2] = (X^a - 1) spectra,
+                       bsk_j [P, J, R, N1, N2] (one GGSW);
+      mode="multibit": ph [B, 2^g - 1, P, N1, N2] = X^{c_v} spectra,
+                       bsk_j [2^g, P, J, R, N1, N2]."""
     from . import fourstep as fs
 
     plan = get_plan(n, num_primes)
@@ -733,12 +743,9 @@ def blind_rotate_step_pallas_mxu(a_j, acc_hi, acc_lo, bsk_j, bsk_sh_j,
     B = acc_hi.shape[0]
     bt = min(block_b, B)
     assert B % bt == 0
-    R = glwe_size
-    n1, n2 = fs._split_nm(n)
     kt = fs.get_kernel_tables(n, num_primes, bt)
-    mono, mono_sh = fs.monomial_tables_fourstep(n, num_primes)
     kernel = _make_step_kernel_mxu(n, num_primes, glwe_size, decomp, primes,
-                                   log_q, grouping=grouping)
+                                   log_q, grouping=grouping, mode=mode)
 
     grid = (B // bt,)
     vm = pltpu.VMEM
@@ -754,42 +761,46 @@ def blind_rotate_step_pallas_mxu(a_j, acc_hi, acc_lo, bsk_j, bsk_sh_j,
                             (i,) + (_z,) * _r, memory_space=vm)
 
     tables = (kt.wfa, kt.ca, kt.da, kt.tf, kt.tf_sh, kt.wfb, kt.cb,
-              kt.wia, kt.cia, kt.ti, kt.ti_sh, kt.wib, kt.cib, kt.dib,
-              mono, mono_sh)
-    in_specs = ([pl.BlockSpec((bt, grouping), lambda i: (i, zero),
-                              memory_space=vm),
+              kt.wia, kt.cia, kt.ti, kt.ti_sh, kt.wib, kt.cib, kt.dib)
+    in_specs = ([tiled(ph.shape), tiled(ph_sh.shape),
                  tiled(acc_hi.shape), tiled(acc_lo.shape),
                  bcast(bsk_j.shape), bcast(bsk_sh_j.shape)]
                 + [bcast(t.shape) for t in tables])
     out_specs = (tiled(acc_hi.shape), tiled(acc_lo.shape))
     out_shape = (jax.ShapeDtypeStruct(acc_hi.shape, jnp.uint32),
                  jax.ShapeDtypeStruct(acc_lo.shape, jnp.uint32))
-    a2d = a_j.astype(jnp.int32)
-    if a2d.ndim == 1:
-        a2d = a2d[:, None]
     return pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
-    )(a2d, acc_hi, acc_lo, bsk_j, bsk_sh_j,
+    )(ph, ph_sh, acc_hi, acc_lo, bsk_j, bsk_sh_j,
       *(jnp.asarray(t) for t in tables))
 
 
 def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
                         decomp: DecompParams, log_q: int = 64,
                         block_b: int = 8, interpret: bool = False,
-                        mxu: bool = False):
+                        mxu: bool = False, mono_tab=None, mono_sh=None):
     """Full blind rotation with the fused step kernel.
 
-    lut_data [R, N] u64 torus; lwe_data [B, n_in+1] u64;
-    paired_u32 [n_in, 2, P, J, R, N] u32 (+ shoup twin) — in DIF spectral
-    order for the butterfly kernel, FOUR-STEP order when mxu=True.
+    lut_data [R, N] u64 torus; lwe_data [B, n_in+1] u64.
+    Butterfly kernel (mxu=False): paired_u32 [n_in, 2, P, J, R, N] u32
+    (+ shoup twin) in DIF spectral order — the paired (GGSW(1-s), GGSW(s))
+    phase-domain form.
+    MXU kernel (mxu=True): paired_u32 [n_in, P, J, R, N] — the plain GGSW(s)
+    spectra in FOUR-STEP order; the step runs as a delta-CMUX with the
+    (X^a - 1) phase gathered per batch element from the HBM exponent table.
     Returns the rotated accumulator [B, R, N] u64."""
     from ..algorithms.bootstrap import modulus_switch
     from . import monomial_mul
 
     n_in = paired_u32.shape[0]
-    num_primes = paired_u32.shape[2]
-    glwe_size = paired_u32.shape[4]
+    if mxu:
+        assert paired_u32.ndim == 5, "MXU path expects delta-form spectra"
+        num_primes = paired_u32.shape[1]
+        glwe_size = paired_u32.shape[3]
+    else:
+        num_primes = paired_u32.shape[2]
+        glwe_size = paired_u32.shape[4]
     n = paired_u32.shape[-1]
     batch = lwe_data.shape[:-1]
 
@@ -812,25 +823,41 @@ def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
     acc_hi = (acc >> jnp.uint64(32)).astype(jnp.uint32)
     acc_lo = acc.astype(jnp.uint32)
     if mxu:
-        from .fourstep import _split_nm
-        n1, n2 = _split_nm(n)
+        from . import fourstep as fs
+        n1, n2 = fs._split_nm(n)
         acc_hi = acc_hi.reshape(acc_hi.shape[:-1] + (n1, n2))
         acc_lo = acc_lo.reshape(acc_lo.shape[:-1] + (n1, n2))
         paired_u32 = paired_u32.reshape(paired_u32.shape[:-1] + (n1, n2))
         paired_sh_u32 = paired_sh_u32.reshape(paired_sh_u32.shape[:-1] + (n1, n2))
-        step_fn = functools.partial(blind_rotate_step_pallas_mxu,
-                                    block_b=block_b)
-    else:
-        step_fn = functools.partial(blind_rotate_step_pallas, block_b=block_b)
+        if mono_tab is None:
+            # eager/test path only — inside jit this would bake a ~128 MB
+            # constant into the HLO; the key entity carries the tables there
+            tab, tab_sh = fs.monomial_full_tables(n, num_primes, True)
+            mono_tab, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
+        tabs, tabs_sh = mono_tab, mono_sh
+        mask = 2 * n - 1
 
-    def step(j, carry):
-        hi, lo = carry
-        aj = a_sw[..., j]
-        bsk_j = jax.lax.dynamic_index_in_dim(paired_u32, j, 0, keepdims=False)
-        sh_j = jax.lax.dynamic_index_in_dim(paired_sh_u32, j, 0, keepdims=False)
-        return step_fn(
-            aj, hi, lo, bsk_j, sh_j, decomp, n=n, num_primes=num_primes,
-            glwe_size=glwe_size, interpret=interpret, log_q=log_q)
+        def step(j, carry):
+            hi, lo = carry
+            idx = a_sw[..., j] & mask                 # X^{2N} = X^0
+            ph = jnp.take(tabs, idx, axis=0)          # [B, P, N1, N2]
+            ph_sh = jnp.take(tabs_sh, idx, axis=0)
+            bsk_j = jax.lax.dynamic_index_in_dim(paired_u32, j, 0, keepdims=False)
+            sh_j = jax.lax.dynamic_index_in_dim(paired_sh_u32, j, 0, keepdims=False)
+            return blind_rotate_step_pallas_mxu(
+                ph, ph_sh, hi, lo, bsk_j, sh_j, decomp, n=n,
+                num_primes=num_primes, glwe_size=glwe_size, block_b=block_b,
+                interpret=interpret, log_q=log_q, mode="delta")
+    else:
+        def step(j, carry):
+            hi, lo = carry
+            aj = a_sw[..., j]
+            bsk_j = jax.lax.dynamic_index_in_dim(paired_u32, j, 0, keepdims=False)
+            sh_j = jax.lax.dynamic_index_in_dim(paired_sh_u32, j, 0, keepdims=False)
+            return blind_rotate_step_pallas(
+                aj, hi, lo, bsk_j, sh_j, decomp, n=n, num_primes=num_primes,
+                glwe_size=glwe_size, block_b=block_b, interpret=interpret,
+                log_q=log_q)
 
     acc_hi, acc_lo = jax.lax.fori_loop(0, n_in, step, (acc_hi, acc_lo))
     if mxu:
@@ -844,7 +871,8 @@ def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
 def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
                                   decomp: DecompParams, grouping: int,
                                   log_q: int = 64, block_b: int = 8,
-                                  interpret: bool = False, mxu: bool = False):
+                                  interpret: bool = False, mxu: bool = False,
+                                  mono_tab=None, mono_sh=None):
     """Fused multibit blind rotation: n/g steps, 2^g GGSW variants per step.
 
     mb_u32 [n/g, 2^g, P, J, R, N] u32 (+ shoup twin); four-step spectral
@@ -876,26 +904,50 @@ def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
     acc_hi = (acc >> jnp.uint64(32)).astype(jnp.uint32)
     acc_lo = acc.astype(jnp.uint32)
     if mxu:
-        from .fourstep import _split_nm
-        n1, n2 = _split_nm(n)
+        from . import fourstep as fs
+        n1, n2 = fs._split_nm(n)
         acc_hi = acc_hi.reshape(acc_hi.shape[:-1] + (n1, n2))
         acc_lo = acc_lo.reshape(acc_lo.shape[:-1] + (n1, n2))
         mb_u32 = mb_u32.reshape(mb_u32.shape[:-1] + (n1, n2))
         mb_sh_u32 = mb_sh_u32.reshape(mb_sh_u32.shape[:-1] + (n1, n2))
-        step_kernel = blind_rotate_step_pallas_mxu
-    else:
-        step_kernel = blind_rotate_step_pallas
+        if mono_tab is None:
+            # eager/test path only — see blind_rotate_pallas
+            tab, tab_sh = fs.monomial_full_tables(n, num_primes, False)
+            mono_tab, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
+        tabs, tabs_sh = mono_tab, mono_sh
+        mask = 2 * n - 1
+        V = 1 << grouping
+        # variant v (MSB of v <-> first group bit) selects group bit i when
+        # (v >> (g-1-i)) & 1; c_v = sum of the selected mod-switched a's
+        sel = jnp.asarray([[(v >> (grouping - 1 - i)) & 1
+                            for i in range(grouping)]
+                           for v in range(1, V)], dtype=jnp.int32)  # [V-1, g]
 
-    def step(j, carry):
-        hi, lo = carry
-        a_grp = jax.lax.dynamic_slice_in_dim(a_sw, j * grouping, grouping,
-                                             axis=-1)
-        bsk_j = jax.lax.dynamic_index_in_dim(mb_u32, j, 0, keepdims=False)
-        sh_j = jax.lax.dynamic_index_in_dim(mb_sh_u32, j, 0, keepdims=False)
-        return step_kernel(
-            a_grp, hi, lo, bsk_j, sh_j, decomp, n=n, num_primes=num_primes,
-            glwe_size=glwe_size, block_b=bt, interpret=interpret,
-            log_q=log_q, grouping=grouping)
+        def step(j, carry):
+            hi, lo = carry
+            a_grp = jax.lax.dynamic_slice_in_dim(a_sw, j * grouping, grouping,
+                                                 axis=-1)            # [B, g]
+            c_v = (a_grp[:, None, :] * sel[None]).sum(-1) & mask     # [B, V-1]
+            ph = jnp.take(tabs, c_v, axis=0)          # [B, V-1, P, N1, N2]
+            ph_sh = jnp.take(tabs_sh, c_v, axis=0)
+            bsk_j = jax.lax.dynamic_index_in_dim(mb_u32, j, 0, keepdims=False)
+            sh_j = jax.lax.dynamic_index_in_dim(mb_sh_u32, j, 0, keepdims=False)
+            return blind_rotate_step_pallas_mxu(
+                ph, ph_sh, hi, lo, bsk_j, sh_j, decomp, n=n,
+                num_primes=num_primes, glwe_size=glwe_size, block_b=bt,
+                interpret=interpret, log_q=log_q, grouping=grouping,
+                mode="multibit")
+    else:
+        def step(j, carry):
+            hi, lo = carry
+            a_grp = jax.lax.dynamic_slice_in_dim(a_sw, j * grouping, grouping,
+                                                 axis=-1)
+            bsk_j = jax.lax.dynamic_index_in_dim(mb_u32, j, 0, keepdims=False)
+            sh_j = jax.lax.dynamic_index_in_dim(mb_sh_u32, j, 0, keepdims=False)
+            return blind_rotate_step_pallas(
+                a_grp, hi, lo, bsk_j, sh_j, decomp, n=n, num_primes=num_primes,
+                glwe_size=glwe_size, block_b=bt, interpret=interpret,
+                log_q=log_q, grouping=grouping)
 
     acc_hi, acc_lo = jax.lax.fori_loop(0, num_groups, step, (acc_hi, acc_lo))
     if mxu:

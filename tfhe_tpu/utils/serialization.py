@@ -91,10 +91,33 @@ def _encode(obj, arrays: Dict[str, np.ndarray], prefix: str):
         name = f"{type(obj).__module__}.{type(obj).__name__}"
         if name not in _REGISTRY:
             raise DeserializationError(f"unregistered type {name}")
-        fields = {f.name: _encode(getattr(obj, f.name), arrays, prefix)
+        # phase tables on NTT bootstrap keys are pure functions of (N, P):
+        # store a marker instead of ~256 MB of regenerable data
+        derived = (_DERIVED_FIELDS.get(type(obj).__name__, ())
+                   if name.startswith("tfhe_tpu.") else ())
+        fields = {f.name: ({"t": "derived"} if f.name in derived
+                           and getattr(obj, f.name) is not None else
+                           _encode(getattr(obj, f.name), arrays, prefix))
                   for f in dataclasses.fields(obj)}
         return {"t": "obj", "cls": name, "fields": fields}
     raise DeserializationError(f"cannot serialize {type(obj)}")
+
+
+# per-class fields regenerated at decode time (see _regen_derived)
+_DERIVED_FIELDS = {"NttLweBootstrapKey": ("mono", "mono_shoup"),
+                   "NttMultiBitBootstrapKey": ("mono", "mono_shoup")}
+
+
+def _regen_derived(obj):
+    """Recompute the full-exponent monomial phase tables dropped by _encode."""
+    from ..core.poly.fourstep import monomial_full_tables
+    cls = type(obj).__name__
+    if cls == "NttLweBootstrapKey":
+        n, npr, minus_one = obj.data.shape[-1], obj.data.shape[1], True
+    else:
+        n, npr, minus_one = obj.data.shape[-1], obj.data.shape[2], False
+    tab, sh = monomial_full_tables(int(n), int(npr), minus_one)
+    return obj.replace(mono=jnp.asarray(tab), mono_shoup=jnp.asarray(sh))
 
 
 def _decode(node, arrays):
@@ -110,13 +133,18 @@ def _decode(node, arrays):
     if t in ("list", "tuple"):
         vals = [_decode(x, arrays) for x in node["v"]]
         return vals if t == "list" else tuple(vals)
+    if t == "derived":
+        return None
     if t == "obj":
         _register_known_types()
         cls = _REGISTRY.get(node["cls"])
         if cls is None:
             raise DeserializationError(f"unknown type {node['cls']}")
         fields = {k: _decode(v, arrays) for k, v in node["fields"].items()}
-        return cls(**fields)
+        obj = cls(**fields)
+        if any(v.get("t") == "derived" for v in node["fields"].values()):
+            obj = _regen_derived(obj)
+        return obj
     raise DeserializationError(f"bad node {t}")
 
 
