@@ -115,6 +115,31 @@ def test_pallas_mxu_delta_blind_rotate(pkeys):
         np.testing.assert_array_equal(dec, expect)
 
 
+def test_pallas_mxu_lanes_bit_exact(pkeys):
+    """The "lanes" layout kernel (dense prime-paired stage A) computes the
+    identical exact integer pipeline as the rows-layout delta kernel: the
+    rotated u64 accumulators must be bit-identical."""
+    f = lambda x: (x * 5 + 3) % 16
+    acc = _lut(f)
+    msgs = jnp.arange(16, dtype=jnp.uint64) * DELTA
+    ct = encrypt_lwe(pkeys["enc_key"], pkeys["lwe_sk"], msgs, P.lwe_noise_std, 64)
+    bsk = pkeys["bsk"]
+
+    rot_rows = blind_rotate_pallas(acc.data, ct.data, bsk.paired,
+                                   bsk.paired_shoup, P.pbs_decomp,
+                                   block_b=8, interpret=True, mxu=True)
+    rot_lanes = blind_rotate_pallas(acc.data, ct.data, bsk.paired,
+                                    bsk.paired_shoup, P.pbs_decomp,
+                                    block_b=8, interpret=True, mxu=True,
+                                    lanes=True)
+    np.testing.assert_array_equal(np.asarray(rot_rows), np.asarray(rot_lanes))
+
+    out = sample_extract(GlweCiphertext(data=rot_lanes), 0)
+    dec = np.asarray((decrypt_lwe(out, pkeys["big_sk"], 64)
+                      + (DELTA >> np.uint64(1))) // DELTA) % 16
+    np.testing.assert_array_equal(dec, [(i * 5 + 3) % 16 for i in range(16)])
+
+
 def test_pallas_multibit_matches_xla():
     """Fused multibit kernel (g=2) vs the XLA multibit path, interpret mode."""
     import dataclasses
@@ -164,3 +189,11 @@ def test_pallas_multibit_matches_xla():
         sk.bsk.shoup_u32[..., perm], sk.bsk.decomp, 2, block_b=8,
         interpret=True, mxu=True)
     np.testing.assert_array_equal(np.asarray(rotated), np.asarray(rotated_mxu))
+
+    # lanes-layout MXU kernel: also bit-identical
+    rotated_lanes = multi_bit_blind_rotate_pallas(
+        lut.acc.data, small.data, sk.bsk.data_u32[..., perm],
+        sk.bsk.shoup_u32[..., perm], sk.bsk.decomp, 2, block_b=8,
+        interpret=True, mxu=True, lanes=True)
+    np.testing.assert_array_equal(np.asarray(rotated),
+                                  np.asarray(rotated_lanes))

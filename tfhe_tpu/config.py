@@ -48,3 +48,25 @@ def use_mxu_ntt() -> bool:
 def set_use_mxu_ntt(flag: bool):
     global _USE_MXU
     _USE_MXU = bool(flag)
+
+
+_MXU_LANES: Optional[bool] = None
+
+
+def use_mxu_lanes() -> bool:
+    """Whether the MXU kernel uses the "lanes" layout (batch folded into the
+    lane dimension; dense prime-paired stage-A matmuls with no block-diagonal
+    batch embedding) instead of the "rows" layout.  Decides the spectral/
+    phase-table layout recorded on NTT bootstrap keys at conversion time;
+    execution follows the key.  Override with set_use_mxu_lanes or
+    TFHE_TPU_MXU_LANES=0/1."""
+    global _MXU_LANES
+    if _MXU_LANES is None:
+        env = os.environ.get("TFHE_TPU_MXU_LANES")
+        _MXU_LANES = env not in ("0", "false", "False") if env is not None else False
+    return _MXU_LANES
+
+
+def set_use_mxu_lanes(flag: bool):
+    global _MXU_LANES
+    _MXU_LANES = bool(flag)

@@ -153,7 +153,8 @@ def programmable_bootstrap(lwe: LweCiphertext, lut: GlweCiphertext,
         rotated = GlweCiphertext(data=blind_rotate_pallas(
             lut.data, lwe.data, bsk.paired, bsk.paired_shoup, bsk.decomp,
             log_q=log_q, block_b=block_b,
-            mxu=(bsk.paired_order == "fourstep"),
+            mxu=bsk.paired_order.startswith("fourstep"),
+            lanes=(bsk.paired_order == "fourstep-lanes"),
             mono_tab=bsk.mono, mono_sh=bsk.mono_shoup))
         return sample_extract(rotated, 0)
     rotated = blind_rotate(lut, lwe, bsk, log_q)

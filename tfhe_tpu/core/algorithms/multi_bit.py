@@ -126,12 +126,17 @@ def multi_bit_bootstrap_key_to_ntt(std_data, decomp: DecompParams,
     mono = mono_sh = None
     hat32, sh32 = hat.astype(jnp.uint32), sh.astype(jnp.uint32)
     if config.use_mxu_ntt():
-        from ..poly.fourstep import monomial_full_tables, perm_from_dif
+        from ..poly.fourstep import (monomial_full_tables,
+                                     monomial_full_tables_lanes, perm_from_dif)
         perm = jnp.asarray(perm_from_dif(n))
         hat32, sh32 = hat32[..., perm], sh32[..., perm]
-        tab, tab_sh = monomial_full_tables(n, npr, False)
+        if config.use_mxu_lanes():
+            tab, tab_sh = monomial_full_tables_lanes(n, npr, False)
+            order = "fourstep-lanes"
+        else:
+            tab, tab_sh = monomial_full_tables(n, npr, False)
+            order = "fourstep"
         mono, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
-        order = "fourstep"
     return NttMultiBitBootstrapKey(data=hat, shoup=sh,
                                    data_u32=hat32, shoup_u32=sh32,
                                    mono=mono, mono_shoup=mono_sh,

@@ -318,9 +318,102 @@ def recomb_consts(p: int) -> tuple[int, int, int, int]:
     return c24, shoup_int(c24, p), c16, shoup_int(c16, p)
 
 
+class FourStepLanesTables(NamedTuple):
+    """Tables for the "lanes" kernel layout: polynomials live as
+    [N1, bt*N2] (batch folded into the lane dimension), so the N1-contraction
+    stages are DENSE [.., 3|4*N1] matmuls shared by the whole batch tile —
+    no block-diagonal batch embedding, hence no bt-times redundant MXU work.
+
+    Forward stage A additionally stacks PRIME PAIRS along the output rows
+    (the digit-limb input is prime-independent), filling the MXU's 128-row
+    tile: wfa [n_pairs, pair_size*4*N1, 3*N1].
+
+      wfa  [n_pairs, ps*4*N1, 3*N1]   ca [n_pairs, ps, 4, N1, 1]
+      da   [P, N1, 1]                 fwd A final-fold constants
+      tf_t [P, N1, bt*N2] (x2)        middle twiddle TILED along lanes
+      wfb  [P, 4*N2, 4*N2]  cb [P, 4, 1, N2]     (dense, unchanged)
+      wia  [P, 4*N2, 4*N2]  cia [P, 4, 1, N2]
+      ti   [P, N1, N2] (x2)           untiled (applied in rows-(k1,b) layout)
+      wib  [P, 4*N1, 4*N1]  cib [P, 4, N1, 1]  dib [P, N1, 1]
+    """
+    pairs: tuple
+    wfa: np.ndarray
+    ca: np.ndarray
+    da: np.ndarray
+    tf_t: np.ndarray
+    tf_sh_t: np.ndarray
+    wfb: np.ndarray
+    cb: np.ndarray
+    wia: np.ndarray
+    cia: np.ndarray
+    ti: np.ndarray
+    ti_sh: np.ndarray
+    wib: np.ndarray
+    cib: np.ndarray
+    dib: np.ndarray
+
+
+@functools.lru_cache(maxsize=None)
+def get_kernel_tables_lanes(n: int, num_primes: int,
+                            bt: int) -> FourStepLanesTables:
+    fp = get_fourstep_plan(n, num_primes)
+    plan = get_plan(n, num_primes)
+    n1, n2 = fp.n1, fp.n2
+    P = num_primes
+    pairs = tuple((i, i + 1) if i + 1 < P else (i,)
+                  for i in range(0, P, 2))
+    ps = len(pairs[0])
+
+    wfa = np.zeros((len(pairs), ps * 4 * n1, 3 * n1), dtype=np.int8)
+    ca = np.zeros((len(pairs), ps, 4, n1, 1), dtype=np.int32)
+    da = np.empty((P, n1, 1), dtype=np.uint32)
+    wfb = np.empty((P, 4 * n2, 4 * n2), dtype=np.int8)
+    cb = np.empty((P, 4, 1, n2), dtype=np.int32)
+    wia = np.empty((P, 4 * n2, 4 * n2), dtype=np.int8)
+    cia = np.empty((P, 4, 1, n2), dtype=np.int32)
+    wib = np.empty((P, 4 * n1, 4 * n1), dtype=np.int8)
+    cib = np.empty((P, 4, n1, 1), dtype=np.int32)
+    dib = np.empty((P, n1, 1), dtype=np.uint32)
+
+    for pp, pair in enumerate(pairs):
+        for which, pi in enumerate(pair):
+            p = int(plan.primes[pi])
+            stack, corr = _weight_stack_left(fp.w1f[pi], p, 1, 3)
+            wfa[pp, which * 4 * n1:(which + 1) * 4 * n1] = stack
+            ca[pp, which] = corr
+    for pi, p in enumerate(plan.primes):
+        p = int(p)
+        rowsum = fp.w1f[pi].astype(object).sum(axis=1)
+        da[pi, :, 0] = np.array(
+            [int((-DIGIT_OFF * int(r) - BIAS_SUM) % p) for r in rowsum],
+            dtype=np.uint32)
+        wfb[pi], cb[pi] = _weight_stack_right(fp.w2f[pi], p)
+        wia[pi], cia[pi] = _weight_stack_right(fp.w2i[pi], p)
+        wib[pi], cib[pi] = _weight_stack_left(fp.w1i[pi], p, 1, 4)
+        dib[pi, :, 0] = np.uint32((-BIAS_SUM) % p)
+
+    u32 = lambda a: a.astype(np.uint32)
+    tf_t = np.tile(u32(fp.tf), (1, 1, bt))
+    tf_sh_t = np.tile(u32(fp.tf_sh), (1, 1, bt))
+    return FourStepLanesTables(
+        pairs=pairs, wfa=wfa, ca=ca, da=da, tf_t=tf_t, tf_sh_t=tf_sh_t,
+        wfb=wfb, cb=cb, wia=wia, cia=cia,
+        ti=u32(fp.ti), ti_sh=u32(fp.ti_sh), wib=wib, cib=cib, dib=dib)
+
+
 # ---------------------------------------------------------------------------
 # monomial-phase tables in four-step order (radix-4 exponentiation)
 # ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def monomial_full_tables_lanes(n: int, num_primes: int, minus_one: bool):
+    """monomial_full_tables in [P, N1, 2n, N2] layout: gathering exponent e
+    on axis 2 yields [P, N1, B, N2] directly — the "lanes" kernel's phase
+    block layout — with no XLA-side transpose after the gather."""
+    tab, sh = monomial_full_tables(n, num_primes, minus_one)
+    return (np.ascontiguousarray(tab.transpose(1, 2, 0, 3)),
+            np.ascontiguousarray(sh.transpose(1, 2, 0, 3)))
 
 
 @functools.lru_cache(maxsize=None)

@@ -721,6 +721,274 @@ def _make_step_kernel_mxu(n: int, num_primes: int, glwe_size: int,
     return kernel
 
 
+def _make_step_kernel_mxu_lanes(n: int, num_primes: int, glwe_size: int,
+                                decomp: DecompParams, primes, log_q: int = 64,
+                                grouping: int = 1, mode: str = "delta"):
+    """Fused MXU blind-rotation step in the "lanes" layout.
+
+    Polynomials live as [N1, bt*N2] — the batch tile folded into the LANE
+    dimension (lane = b*N2 + j2) — so the N1-contraction matmul stages are
+    DENSE [*, 3|4*N1] dots shared by the whole tile instead of bt-times
+    redundant block-diagonal ones, and forward stage A stacks prime pairs
+    along the output rows (the digit-limb input is prime-independent) to
+    fill the MXU's 128-row tile.  The N2-contraction stages run in the
+    rows-(k1, b) layout [N1*bt, N2]; the two layouts exchange with one
+    jnp.reshape per (transform, prime) — a sublane<->lane-chunk relayout of
+    ~16 vregs, far cheaper than the block-diagonal MXU waste it removes.
+
+    Same delta/multibit semantics as _make_step_kernel_mxu; phases arrive
+    gathered from the [P, N1, 2n, N2]-layout tables so their blocks are
+    already [P, N1, bt, N2] — no transposes anywhere."""
+    from . import fourstep as fs
+
+    assert mode in ("delta", "multibit")
+    G = grouping
+    V = 1 << G
+    P = num_primes
+    R = glwe_size
+    L = decomp.level
+    J = L * R
+    B_log = decomp.base_log
+    base = 1 << B_log
+    half_base = base >> 1
+    shift = log_q - B_log * L
+    assert shift >= 32
+    assert B_log <= 24
+    n1, n2 = fs._split_nm(n)
+    plan = get_plan(n, num_primes)
+    g_inv = [int(x) for x in plan.garner_inv]
+    g_w = [[int(x) for x in row] for row in plan.garner_weights]
+    prefix = [(int(x) >> 32, int(x) & 0xFFFFFFFF) for x in plan.prefix_mod]
+    m_mod = (plan.M_mod >> 32, plan.M_mod & 0xFFFFFFFF)
+    half_digits = [int(x) for x in plan.half_digits]
+    rc = [fs.recomb_consts(p) for p in primes]
+    d_right = [(-fs.BIAS_SUM) % p for p in primes]
+    pairs = fs.get_kernel_tables_lanes(n, num_primes, 1).pairs
+
+    def kernel(ph_ref, ph_sh_ref, acc_hi_ref, acc_lo_ref, bsk_ref, bsk_sh_ref,
+               wfa_ref, ca_ref, da_ref, tf_ref, tf_sh_ref, wfb_ref, cb_ref,
+               wia_ref, cia_ref, ti_ref, ti_sh_ref, wib_ref, cib_ref, dib_ref,
+               out_hi_ref, out_lo_ref):
+        btn2 = acc_hi_ref.shape[-1]
+        bt = btn2 // n2
+
+        # ---- 1. decompose ([N1, bt*N2] planes) -----------------------------
+        digits = [[None] * R for _ in range(L)]
+        for r in range(R):
+            hi = acc_hi_ref[r]
+            lo = acc_lo_ref[r]
+            if shift - 1 >= 32:
+                hi_r = hi + U32(1 << (shift - 1 - 32))
+            else:
+                carry = (lo >= U32(0x80000000)).astype(U32)
+                hi_r = hi + carry
+            s = hi_r >> U32(shift - 32) if shift > 32 else hi_r
+            for li in range(L - 1, -1, -1):
+                raw = s & U32(base - 1)
+                carry = (raw + U32(half_base)) >> U32(B_log)
+                d = raw.astype(I32) - (carry.astype(I32) << B_log)
+                s = (s >> U32(B_log)) + carry
+                digits[li][r] = d
+
+        # ---- 2. forward NTT: dense prime-paired stage A, then stage B ------
+        d_hat = [[None] * J for _ in range(P)]    # [N1*bt, N2] rows (k1, b)
+        for li in range(L):
+            for r in range(R):
+                u = (digits[li][r] + I32(fs.DIGIT_OFF)).astype(U32)
+                data3 = _i8_limbs(u, 3, axis=0)          # [3*N1, bt*N2]
+                for pp, pair in enumerate(pairs):
+                    s = _dot_i8(wfa_ref[pp], data3)      # [ps*4*N1, bt*N2]
+                    for which, pi in enumerate(pair):
+                        p = U32(primes[pi])
+                        b0 = which * 4 * n1
+                        s_m = [s[b0 + m * n1:b0 + (m + 1) * n1]
+                               for m in range(4)]
+                        add_m = [ca_ref[pp, which, m] for m in range(4)]
+                        x1 = _recombine_mxu(s_m, add_m, da_ref[pi], rc[pi],
+                                            p, fold=False)
+                        x1 = _mulmod_lazy(x1, tf_ref[pi], tf_sh_ref[pi], p)
+                        xr = x1.reshape(n1 * bt, n2)     # lanes -> rows
+                        data4 = _i8_limbs(xr, 4, axis=1)
+                        s2 = _dot_i8(data4, wfb_ref[pi])
+                        s2_m = [s2[:, m * n2:(m + 1) * n2] for m in range(4)]
+                        add2 = [cb_ref[pi, m] for m in range(4)]
+                        xh = _recombine_mxu(s2_m, add2, U32(d_right[pi]),
+                                            rc[pi], p, fold=False)
+                        d_hat[pi][li * R + r] = xh
+
+        # ---- 3+4. MAC with pre-gathered phases (rows-(k1, b) 3D views) -----
+        spec = [[None] * R for _ in range(P)]
+        if mode == "delta":
+            for pi in range(P):
+                p = U32(primes[pi])
+                ph3 = ph_ref[pi]                          # [N1, bt, N2]
+                ph3_sh = ph_sh_ref[pi]
+                for r in range(R):
+                    acc_s = None
+                    for j in range(J):
+                        d3 = d_hat[pi][j].reshape(n1, bt, n2)
+                        w3 = bsk_ref[pi, j, r].reshape(n1, 1, n2)
+                        w3s = bsk_sh_ref[pi, j, r].reshape(n1, 1, n2)
+                        t0 = _mulmod_lazy(d3, w3, w3s, p)
+                        acc_s = t0 if acc_s is None else _condsub2p(acc_s + t0, p)
+                    spec[pi][r] = _mulmod_lazy(acc_s, ph3, ph3_sh, p)
+        else:
+            for pi in range(P):
+                p = U32(primes[pi])
+                d3s = [d_hat[pi][j].reshape(n1, bt, n2) for j in range(J)]
+                for v in range(V):
+                    if v == 0:
+                        d_use = d3s
+                    else:
+                        phv = ph_ref[pi, :, :, v - 1]     # [N1, bt, N2]
+                        phv_sh = ph_sh_ref[pi, :, :, v - 1]
+                        d_use = [_mulmod_lazy(d3s[j], phv, phv_sh, p)
+                                 for j in range(J)]
+                    for r in range(R):
+                        acc_s = spec[pi][r]
+                        for j in range(J):
+                            w3 = bsk_ref[v, pi, j, r].reshape(n1, 1, n2)
+                            w3s = bsk_sh_ref[v, pi, j, r].reshape(n1, 1, n2)
+                            t0 = _mulmod_lazy(d_use[j], w3, w3s, p)
+                            acc_s = (t0 if acc_s is None else
+                                     _condsub2p(acc_s + t0, p))
+                        spec[pi][r] = acc_s
+
+        # ---- 5. inverse NTT: dense stage B back in lanes layout -------------
+        res = [[None] * R for _ in range(P)]
+        for pi in range(P):
+            p = U32(primes[pi])
+            for r in range(R):
+                v2 = spec[pi][r].reshape(n1 * bt, n2)
+                data4 = _i8_limbs(v2, 4, axis=1)
+                s = _dot_i8(data4, wia_ref[pi])
+                s_m = [s[:, m * n2:(m + 1) * n2] for m in range(4)]
+                add_m = [cia_ref[pi, m] for m in range(4)]
+                d = _recombine_mxu(s_m, add_m, U32(d_right[pi]), rc[pi], p,
+                                   fold=False)
+                d3 = _mulmod_lazy(d.reshape(n1, bt, n2),
+                                  ti_ref[pi].reshape(n1, 1, n2),
+                                  ti_sh_ref[pi].reshape(n1, 1, n2), p)
+                dr = d3.reshape(n1, bt * n2)              # rows -> lanes
+                data4b = _i8_limbs(dr, 4, axis=0)         # [4*N1, bt*N2]
+                s2 = _dot_i8(wib_ref[pi], data4b)
+                s2_m = [s2[m * n1:(m + 1) * n1] for m in range(4)]
+                add2 = [cib_ref[pi, m] for m in range(4)]
+                x = _recombine_mxu(s2_m, add2, dib_ref[pi], rc[pi], p)
+                x = _condsub2p(x, p)
+                res[pi][r] = jnp.where(x >= p, x - p, x)  # exact < p
+
+        # ---- 6. Garner CRT -> (hi, lo), signed lift, write ------------------
+        for r in range(R):
+            t = [res[0][r]]
+            for i in range(1, P):
+                pi_p = primes[i]
+                p = U32(pi_p)
+                acc_g = None
+                for jj in range(i):
+                    term = _mulmod(t[jj], U32(g_w[i][jj]),
+                                   U32(shoup_int(g_w[i][jj], pi_p)), p)
+                    acc_g = term if acc_g is None else _addmod(acc_g, term, p)
+                diff = _submod(res[i][r], acc_g, p)
+                t.append(_mulmod(diff, U32(g_inv[i]),
+                                 U32(shoup_int(g_inv[i], pi_p)), p))
+            c_lo = jnp.zeros_like(t[0])
+            c_hi = jnp.zeros_like(t[0])
+            for i in range(P):
+                phi, plo = U32(prefix[i][0]), U32(prefix[i][1])
+                lo_t = t[i] * plo
+                hi_t = _mulhi32(t[i], plo) + t[i] * phi
+                c_lo = c_lo + lo_t
+                carry = (c_lo < lo_t).astype(U32)
+                c_hi = c_hi + hi_t + carry
+            ge = jnp.zeros(t[0].shape, dtype=jnp.bool_)
+            eq = jnp.ones(t[0].shape, dtype=jnp.bool_)
+            for i in range(P - 1, -1, -1):
+                h = U32(half_digits[i])
+                ge = ge | (eq & (t[i] > h))
+                eq = eq & (t[i] == h)
+            m_hi, m_lo = U32(m_mod[0]), U32(m_mod[1])
+            borrow = (c_lo < m_lo).astype(U32)
+            sub_lo = c_lo - m_lo
+            sub_hi = c_hi - m_hi - borrow
+            sel = ge | eq
+            d_lo = jnp.where(sel, sub_lo, c_lo)
+            d_hi = jnp.where(sel, sub_hi, c_hi)
+            if mode == "delta":
+                s_lo = acc_lo_ref[r] + d_lo
+                carry = (s_lo < d_lo).astype(U32)
+                out_lo_ref[r] = s_lo
+                out_hi_ref[r] = acc_hi_ref[r] + d_hi + carry
+            else:
+                out_lo_ref[r] = d_lo
+                out_hi_ref[r] = d_hi
+
+    return kernel
+
+
+def blind_rotate_step_pallas_mxu_lanes(ph, ph_sh, acc_hi, acc_lo, bsk_j,
+                                       bsk_sh_j, decomp: DecompParams, *,
+                                       n: int, num_primes: int,
+                                       glwe_size: int, block_b: int = 8,
+                                       interpret: bool = False,
+                                       log_q: int = 64, grouping: int = 1,
+                                       mode: str = "delta"):
+    """One fused MXU blind-rotation step in the "lanes" layout.
+
+    acc_hi/lo [R, N1, B*N2] u32 (batch folded into lanes); phases gathered
+    from the [P, N1, 2n, N2]-layout tables:
+      mode="delta":    ph [P, N1, B, N2],  bsk_j [P, J, R, N1, N2];
+      mode="multibit": ph [P, N1, B, 2^g - 1, N2],
+                       bsk_j [2^g, P, J, R, N1, N2]."""
+    from . import fourstep as fs
+
+    plan = get_plan(n, num_primes)
+    primes = [int(p) for p in plan.primes]
+    assert all(p < (1 << 30) for p in primes)
+    n1, n2 = fs._split_nm(n)
+    B = acc_hi.shape[-1] // n2
+    bt = min(block_b, B)
+    assert B % bt == 0
+    kt = fs.get_kernel_tables_lanes(n, num_primes, bt)
+    kernel = _make_step_kernel_mxu_lanes(n, num_primes, glwe_size, decomp,
+                                         primes, log_q, grouping=grouping,
+                                         mode=mode)
+
+    grid = (B // bt,)
+    vm = pltpu.VMEM
+    zero = np.int32(0)
+
+    def bcast(shape):
+        return pl.BlockSpec(shape, lambda i, _z=zero, _r=len(shape):
+                            (_z,) * _r, memory_space=vm)
+
+    R = glwe_size
+    acc_spec = pl.BlockSpec((R, n1, bt * n2), lambda i: (zero, zero, i),
+                            memory_space=vm)
+    if mode == "delta":
+        ph_spec = pl.BlockSpec((num_primes, n1, bt, n2),
+                               lambda i: (zero, zero, i, zero),
+                               memory_space=vm)
+    else:
+        ph_spec = pl.BlockSpec((num_primes, n1, bt, ph.shape[-2], n2),
+                               lambda i: (zero, zero, i, zero, zero),
+                               memory_space=vm)
+
+    tables = (kt.wfa, kt.ca, kt.da, kt.tf_t, kt.tf_sh_t, kt.wfb, kt.cb,
+              kt.wia, kt.cia, kt.ti, kt.ti_sh, kt.wib, kt.cib, kt.dib)
+    in_specs = ([ph_spec, ph_spec, acc_spec, acc_spec,
+                 bcast(bsk_j.shape), bcast(bsk_sh_j.shape)]
+                + [bcast(t.shape) for t in tables])
+    out_specs = (acc_spec, acc_spec)
+    out_shape = (jax.ShapeDtypeStruct(acc_hi.shape, jnp.uint32),
+                 jax.ShapeDtypeStruct(acc_lo.shape, jnp.uint32))
+    return pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )(ph, ph_sh, acc_hi, acc_lo, bsk_j, bsk_sh_j,
+      *(jnp.asarray(t) for t in tables))
+
+
 def blind_rotate_step_pallas_mxu(ph, ph_sh, acc_hi, acc_lo, bsk_j, bsk_sh_j,
                                  decomp: DecompParams, *, n: int,
                                  num_primes: int, glwe_size: int,
@@ -779,7 +1047,8 @@ def blind_rotate_step_pallas_mxu(ph, ph_sh, acc_hi, acc_lo, bsk_j, bsk_sh_j,
 def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
                         decomp: DecompParams, log_q: int = 64,
                         block_b: int = 8, interpret: bool = False,
-                        mxu: bool = False, mono_tab=None, mono_sh=None):
+                        mxu: bool = False, mono_tab=None, mono_sh=None,
+                        lanes: bool = False):
     """Full blind rotation with the fused step kernel.
 
     lut_data [R, N] u64 torus; lwe_data [B, n_in+1] u64.
@@ -825,26 +1094,35 @@ def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
     if mxu:
         from . import fourstep as fs
         n1, n2 = fs._split_nm(n)
+        Bp = acc_hi.shape[0]
         acc_hi = acc_hi.reshape(acc_hi.shape[:-1] + (n1, n2))
         acc_lo = acc_lo.reshape(acc_lo.shape[:-1] + (n1, n2))
+        if lanes:   # [B, R, N1, N2] -> [R, N1, B*N2] (batch into lanes)
+            acc_hi = acc_hi.transpose(1, 2, 0, 3).reshape(glwe_size, n1, -1)
+            acc_lo = acc_lo.transpose(1, 2, 0, 3).reshape(glwe_size, n1, -1)
         paired_u32 = paired_u32.reshape(paired_u32.shape[:-1] + (n1, n2))
         paired_sh_u32 = paired_sh_u32.reshape(paired_sh_u32.shape[:-1] + (n1, n2))
         if mono_tab is None:
             # eager/test path only — inside jit this would bake a ~128 MB
             # constant into the HLO; the key entity carries the tables there
-            tab, tab_sh = fs.monomial_full_tables(n, num_primes, True)
+            tab, tab_sh = (fs.monomial_full_tables_lanes(n, num_primes, True)
+                           if lanes else
+                           fs.monomial_full_tables(n, num_primes, True))
             mono_tab, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
         tabs, tabs_sh = mono_tab, mono_sh
         mask = 2 * n - 1
+        step_mxu = (blind_rotate_step_pallas_mxu_lanes if lanes else
+                    blind_rotate_step_pallas_mxu)
+        gather_axis = 2 if lanes else 0
 
         def step(j, carry):
             hi, lo = carry
             idx = a_sw[..., j] & mask                 # X^{2N} = X^0
-            ph = jnp.take(tabs, idx, axis=0)          # [B, P, N1, N2]
-            ph_sh = jnp.take(tabs_sh, idx, axis=0)
+            ph = jnp.take(tabs, idx, axis=gather_axis)
+            ph_sh = jnp.take(tabs_sh, idx, axis=gather_axis)
             bsk_j = jax.lax.dynamic_index_in_dim(paired_u32, j, 0, keepdims=False)
             sh_j = jax.lax.dynamic_index_in_dim(paired_sh_u32, j, 0, keepdims=False)
-            return blind_rotate_step_pallas_mxu(
+            return step_mxu(
                 ph, ph_sh, hi, lo, bsk_j, sh_j, decomp, n=n,
                 num_primes=num_primes, glwe_size=glwe_size, block_b=block_b,
                 interpret=interpret, log_q=log_q, mode="delta")
@@ -861,6 +1139,9 @@ def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
 
     acc_hi, acc_lo = jax.lax.fori_loop(0, n_in, step, (acc_hi, acc_lo))
     if mxu:
+        if lanes:   # [R, N1, B*N2] -> [B, R, N1, N2]
+            acc_hi = acc_hi.reshape(glwe_size, n1, Bp, n2).transpose(2, 0, 1, 3)
+            acc_lo = acc_lo.reshape(glwe_size, n1, Bp, n2).transpose(2, 0, 1, 3)
         acc_hi = acc_hi.reshape(acc_hi.shape[:-2] + (n,))
         acc_lo = acc_lo.reshape(acc_lo.shape[:-2] + (n,))
     out = (acc_hi.astype(jnp.uint64) << jnp.uint64(32)) | acc_lo.astype(jnp.uint64)
@@ -872,7 +1153,8 @@ def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
                                   decomp: DecompParams, grouping: int,
                                   log_q: int = 64, block_b: int = 8,
                                   interpret: bool = False, mxu: bool = False,
-                                  mono_tab=None, mono_sh=None):
+                                  mono_tab=None, mono_sh=None,
+                                  lanes: bool = False):
     """Fused multibit blind rotation: n/g steps, 2^g GGSW variants per step.
 
     mb_u32 [n/g, 2^g, P, J, R, N] u32 (+ shoup twin); four-step spectral
@@ -906,13 +1188,19 @@ def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
     if mxu:
         from . import fourstep as fs
         n1, n2 = fs._split_nm(n)
+        Bp = acc_hi.shape[0]
         acc_hi = acc_hi.reshape(acc_hi.shape[:-1] + (n1, n2))
         acc_lo = acc_lo.reshape(acc_lo.shape[:-1] + (n1, n2))
+        if lanes:
+            acc_hi = acc_hi.transpose(1, 2, 0, 3).reshape(glwe_size, n1, -1)
+            acc_lo = acc_lo.transpose(1, 2, 0, 3).reshape(glwe_size, n1, -1)
         mb_u32 = mb_u32.reshape(mb_u32.shape[:-1] + (n1, n2))
         mb_sh_u32 = mb_sh_u32.reshape(mb_sh_u32.shape[:-1] + (n1, n2))
         if mono_tab is None:
             # eager/test path only — see blind_rotate_pallas
-            tab, tab_sh = fs.monomial_full_tables(n, num_primes, False)
+            tab, tab_sh = (fs.monomial_full_tables_lanes(n, num_primes, False)
+                           if lanes else
+                           fs.monomial_full_tables(n, num_primes, False))
             mono_tab, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
         tabs, tabs_sh = mono_tab, mono_sh
         mask = 2 * n - 1
@@ -922,17 +1210,21 @@ def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
         sel = jnp.asarray([[(v >> (grouping - 1 - i)) & 1
                             for i in range(grouping)]
                            for v in range(1, V)], dtype=jnp.int32)  # [V-1, g]
+        step_mxu = (blind_rotate_step_pallas_mxu_lanes if lanes else
+                    blind_rotate_step_pallas_mxu)
+        gather_axis = 2 if lanes else 0
 
         def step(j, carry):
             hi, lo = carry
             a_grp = jax.lax.dynamic_slice_in_dim(a_sw, j * grouping, grouping,
                                                  axis=-1)            # [B, g]
             c_v = (a_grp[:, None, :] * sel[None]).sum(-1) & mask     # [B, V-1]
-            ph = jnp.take(tabs, c_v, axis=0)          # [B, V-1, P, N1, N2]
-            ph_sh = jnp.take(tabs_sh, c_v, axis=0)
+            # rows layout: [B, V-1, P, N1, N2]; lanes: [P, N1, B, V-1, N2]
+            ph = jnp.take(tabs, c_v, axis=gather_axis)
+            ph_sh = jnp.take(tabs_sh, c_v, axis=gather_axis)
             bsk_j = jax.lax.dynamic_index_in_dim(mb_u32, j, 0, keepdims=False)
             sh_j = jax.lax.dynamic_index_in_dim(mb_sh_u32, j, 0, keepdims=False)
-            return blind_rotate_step_pallas_mxu(
+            return step_mxu(
                 ph, ph_sh, hi, lo, bsk_j, sh_j, decomp, n=n,
                 num_primes=num_primes, glwe_size=glwe_size, block_b=bt,
                 interpret=interpret, log_q=log_q, grouping=grouping,
@@ -951,6 +1243,9 @@ def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
 
     acc_hi, acc_lo = jax.lax.fori_loop(0, num_groups, step, (acc_hi, acc_lo))
     if mxu:
+        if lanes:
+            acc_hi = acc_hi.reshape(glwe_size, n1, Bp, n2).transpose(2, 0, 1, 3)
+            acc_lo = acc_lo.reshape(glwe_size, n1, Bp, n2).transpose(2, 0, 1, 3)
         acc_hi = acc_hi.reshape(acc_hi.shape[:-2] + (n,))
         acc_lo = acc_lo.reshape(acc_lo.shape[:-2] + (n,))
     out = (acc_hi.astype(jnp.uint64) << jnp.uint64(32)) | acc_lo.astype(jnp.uint64)

@@ -111,7 +111,8 @@ class ServerKey:
                     acc.data, lwe.data, self.bsk.data_u32, self.bsk.shoup_u32,
                     self.bsk.decomp, self.bsk.grouping_factor, log_q=LOG_Q,
                     block_b=block_b,
-                    mxu=(self.bsk.u32_order == "fourstep"),
+                    mxu=self.bsk.u32_order.startswith("fourstep"),
+                    lanes=(self.bsk.u32_order == "fourstep-lanes"),
                     mono_tab=self.bsk.mono, mono_sh=self.bsk.mono_shoup))
                 return sample_extract(rotated, 0)
             rotated = multi_bit_blind_rotate(acc, lwe, self.bsk, LOG_Q)

@@ -110,13 +110,18 @@ _DERIVED_FIELDS = {"NttLweBootstrapKey": ("mono", "mono_shoup"),
 
 def _regen_derived(obj):
     """Recompute the full-exponent monomial phase tables dropped by _encode."""
-    from ..core.poly.fourstep import monomial_full_tables
+    from ..core.poly.fourstep import (monomial_full_tables,
+                                      monomial_full_tables_lanes)
     cls = type(obj).__name__
     if cls == "NttLweBootstrapKey":
         n, npr, minus_one = obj.data.shape[-1], obj.data.shape[1], True
+        order = obj.paired_order
     else:
         n, npr, minus_one = obj.data.shape[-1], obj.data.shape[2], False
-    tab, sh = monomial_full_tables(int(n), int(npr), minus_one)
+        order = obj.u32_order
+    build = (monomial_full_tables_lanes if order == "fourstep-lanes"
+             else monomial_full_tables)
+    tab, sh = build(int(n), int(npr), minus_one)
     return obj.replace(mono=jnp.asarray(tab), mono_shoup=jnp.asarray(sh))
 
 
