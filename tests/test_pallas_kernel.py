@@ -140,6 +140,33 @@ def test_pallas_mxu_lanes_bit_exact(pkeys):
     np.testing.assert_array_equal(dec, [(i * 5 + 3) % 16 for i in range(16)])
 
 
+def test_pallas_fused_rotation_bit_exact(pkeys):
+    """The single-kernel whole-rotation driver (resident accumulator,
+    pipelined BSK, in-kernel phase DMA) computes the same exact integer
+    pipeline as the per-step delta kernel: bit-identical accumulators."""
+    from tfhe_tpu.core.poly.pallas_ntt import blind_rotate_fused
+
+    f = lambda x: (7 * x + 2) % 16
+    acc = _lut(f)
+    msgs = jnp.arange(16, dtype=jnp.uint64) * DELTA
+    ct = encrypt_lwe(pkeys["enc_key"], pkeys["lwe_sk"], msgs, P.lwe_noise_std, 64)
+    bsk = pkeys["bsk"]
+
+    rot_step = blind_rotate_pallas(acc.data, ct.data, bsk.paired,
+                                   bsk.paired_shoup, P.pbs_decomp,
+                                   block_b=8, interpret=True, mxu=True)
+    rot_fused = blind_rotate_fused(acc.data, ct.data, bsk.paired,
+                                   bsk.paired_shoup, None, None,
+                                   P.pbs_decomp, block_b=8, interpret=True,
+                                   mode="delta")
+    np.testing.assert_array_equal(np.asarray(rot_step), np.asarray(rot_fused))
+
+    out = sample_extract(GlweCiphertext(data=rot_fused), 0)
+    dec = np.asarray((decrypt_lwe(out, pkeys["big_sk"], 64)
+                      + (DELTA >> np.uint64(1))) // DELTA) % 16
+    np.testing.assert_array_equal(dec, [(7 * i + 2) % 16 for i in range(16)])
+
+
 def test_pallas_multibit_matches_xla():
     """Fused multibit kernel (g=2) vs the XLA multibit path, interpret mode."""
     import dataclasses
@@ -197,3 +224,12 @@ def test_pallas_multibit_matches_xla():
         interpret=True, mxu=True, lanes=True)
     np.testing.assert_array_equal(np.asarray(rotated),
                                   np.asarray(rotated_lanes))
+
+    # fused whole-rotation kernel (multibit mode): also bit-identical
+    from tfhe_tpu.core.poly.pallas_ntt import blind_rotate_fused
+    rotated_fused = blind_rotate_fused(
+        lut.acc.data, small.data, sk.bsk.data_u32[..., perm],
+        sk.bsk.shoup_u32[..., perm], None, None, sk.bsk.decomp,
+        block_b=8, interpret=True, mode="multibit", grouping=2)
+    np.testing.assert_array_equal(np.asarray(rotated),
+                                  np.asarray(rotated_fused))

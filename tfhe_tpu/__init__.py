@@ -29,6 +29,17 @@ _jax.config.update("jax_enable_x64", True)
 # recursion limit is too small for their tracing.
 _sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
 
+# Persistent compilation cache: the fused PBS kernel takes minutes to compile
+# (remote TPU tunnels especially); cache executables across processes.
+# Opt out with TFHE_TPU_COMPILE_CACHE=0 or point it elsewhere.
+import os as _os
+
+_cache_dir = _os.environ.get("TFHE_TPU_COMPILE_CACHE",
+                             _os.path.expanduser("~/.cache/tfhe_tpu_xla"))
+if _cache_dir not in ("0", ""):
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 __version__ = "0.1.0"
 
 from . import core  # noqa: E402,F401

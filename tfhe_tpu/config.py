@@ -70,3 +70,24 @@ def use_mxu_lanes() -> bool:
 def set_use_mxu_lanes(flag: bool):
     global _MXU_LANES
     _MXU_LANES = bool(flag)
+
+
+_FUSED_ROTATION: Optional[bool] = None
+
+
+def use_fused_rotation() -> bool:
+    """Whether the MXU path runs the WHOLE blind rotation as one Pallas
+    kernel (grid = batch tiles x steps): accumulator resident in VMEM,
+    BSK slices double-buffered from HBM by the pipeline, phase rows DMA'd
+    in-kernel.  Requires the 'fourstep' (rows) key order.  Override with
+    set_use_fused_rotation or TFHE_TPU_FUSED=0/1."""
+    global _FUSED_ROTATION
+    if _FUSED_ROTATION is None:
+        env = os.environ.get("TFHE_TPU_FUSED")
+        _FUSED_ROTATION = env not in ("0", "false", "False") if env is not None else False
+    return _FUSED_ROTATION
+
+
+def set_use_fused_rotation(flag: bool):
+    global _FUSED_ROTATION
+    _FUSED_ROTATION = bool(flag)

@@ -148,8 +148,14 @@ def programmable_bootstrap(lwe: LweCiphertext, lut: GlweCiphertext,
     if (config.use_pallas_pbs() and bsk.paired is not None
             and lut.data.ndim == 2):
         import os
-        from ..poly.pallas_ntt import blind_rotate_pallas
+        from ..poly.pallas_ntt import blind_rotate_fused, blind_rotate_pallas
         block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "8"))
+        if config.use_fused_rotation() and bsk.paired_order == "fourstep":
+            rotated = GlweCiphertext(data=blind_rotate_fused(
+                lut.data, lwe.data, bsk.paired, bsk.paired_shoup,
+                bsk.mono, bsk.mono_shoup, bsk.decomp, log_q=log_q,
+                block_b=block_b, mode="delta"))
+            return sample_extract(rotated, 0)
         rotated = GlweCiphertext(data=blind_rotate_pallas(
             lut.data, lwe.data, bsk.paired, bsk.paired_shoup, bsk.decomp,
             log_q=log_q, block_b=block_b,

@@ -1044,6 +1044,348 @@ def blind_rotate_step_pallas_mxu(ph, ph_sh, acc_hi, acc_lo, bsk_j, bsk_sh_j,
       *(jnp.asarray(t) for t in tables))
 
 
+def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
+                              decomp: DecompParams, primes, log_q: int = 64,
+                              grouping: int = 1, mode: str = "delta",
+                              bt: int = 8, interpret: bool = False):
+    """WHOLE blind rotation as one kernel: grid (batch tiles, steps).
+
+    Per batch tile the accumulator lives in the OUTPUT block, which stays
+    resident in VMEM across all step iterations (its block index ignores the
+    step grid dim) — no per-step HBM round trip.  The BSK step slice is a
+    pipelined input block indexed by the step (double-buffered by Pallas
+    straight from HBM, overlapped with compute).  Monomial phase rows are
+    DMA'd in-kernel from the full-exponent HBM table by mod-switched
+    exponents read from an SMEM block — the copies are issued before the
+    forward NTT and waited just before the MAC, so the gather is free.
+
+    Same delta/multibit step semantics as _make_step_kernel_mxu."""
+    from . import fourstep as fs
+
+    assert mode in ("delta", "multibit")
+    G = grouping
+    V = 1 << G
+    P = num_primes
+    R = glwe_size
+    L = decomp.level
+    J = L * R
+    B_log = decomp.base_log
+    base = 1 << B_log
+    half_base = base >> 1
+    shift = log_q - B_log * L
+    assert shift >= 32
+    assert B_log <= 24
+    n1, n2 = fs._split_nm(n)
+    plan = get_plan(n, num_primes)
+    g_inv = [int(x) for x in plan.garner_inv]
+    g_w = [[int(x) for x in row] for row in plan.garner_weights]
+    prefix = [(int(x) >> 32, int(x) & 0xFFFFFFFF) for x in plan.prefix_mod]
+    m_mod = (plan.M_mod >> 32, plan.M_mod & 0xFFFFFFFF)
+    half_digits = [int(x) for x in plan.half_digits]
+    rc = [fs.recomb_consts(p) for p in primes]
+    d_right = [(-fs.BIAS_SUM) % p for p in primes]
+    NV = 1 if mode == "delta" else V - 1   # phase rows per batch element
+
+    def kernel(idx_ref, acc_hi_in, acc_lo_in, bsk_ref, bsk_sh_ref,
+               tab_ref, tab_sh_ref,
+               wfa_ref, ca_ref, da_ref, tf_ref, tf_sh_ref, wfb_ref, cb_ref,
+               wia_ref, cia_ref, ti_ref, ti_sh_ref, wib_ref, cib_ref, dib_ref,
+               out_hi_ref, out_lo_ref, ph_vmem, ph_sh_vmem, sem):
+        j_step = pl.program_id(1)
+        rows = bt * n1
+
+        # ---- 0. start the phase-row DMAs (HBM table -> VMEM scratch) -------
+        copies = []
+        for b in range(bt):
+            for v in range(NV):
+                # delta: idx block (bt, 1); multibit: (1, bt*NV)
+                e = idx_ref[b, 0] if NV == 1 else idx_ref[0, b * NV + v]
+                dst = ph_vmem.at[b] if NV == 1 else ph_vmem.at[b, v]
+                dst_sh = ph_sh_vmem.at[b] if NV == 1 else ph_sh_vmem.at[b, v]
+                c1 = pltpu.make_async_copy(tab_ref.at[e], dst, sem)
+                c2 = pltpu.make_async_copy(tab_sh_ref.at[e], dst_sh, sem)
+                c1.start()
+                c2.start()
+                copies += [c1, c2]
+
+        # ---- 0b. first step: seed the resident accumulator -----------------
+        @pl.when(j_step == 0)
+        def _init():
+            out_hi_ref[...] = acc_hi_in[...]
+            out_lo_ref[...] = acc_lo_in[...]
+
+        # ---- 1. decompose the resident accumulator -------------------------
+        digits = [[None] * R for _ in range(L)]
+        for r in range(R):
+            hi = out_hi_ref[:, r]
+            lo = out_lo_ref[:, r]
+            if shift - 1 >= 32:
+                hi_r = hi + U32(1 << (shift - 1 - 32))
+            else:
+                carry = (lo >= U32(0x80000000)).astype(U32)
+                hi_r = hi + carry
+            s = hi_r >> U32(shift - 32) if shift > 32 else hi_r
+            for li in range(L - 1, -1, -1):
+                raw = s & U32(base - 1)
+                carry = (raw + U32(half_base)) >> U32(B_log)
+                d = raw.astype(I32) - (carry.astype(I32) << B_log)
+                s = (s >> U32(B_log)) + carry
+                digits[li][r] = d
+
+        # ---- 2. forward four-step NTT ---------------------------------------
+        d_hat = [[None] * J for _ in range(P)]
+        for li in range(L):
+            for r in range(R):
+                u = (digits[li][r] + I32(fs.DIGIT_OFF)).astype(U32)
+                data3 = _i8_limbs(u.reshape(rows, n2), 3, axis=0)
+                for pi in range(P):
+                    p = U32(primes[pi])
+                    s = _dot_i8(wfa_ref[pi], data3)
+                    s_m = [s[m * rows:(m + 1) * rows].reshape(bt, n1, n2)
+                           for m in range(4)]
+                    add_m = [ca_ref[pi, m] for m in range(4)]
+                    x1 = _recombine_mxu(s_m, add_m, da_ref[pi], rc[pi], p,
+                                        fold=False)
+                    x1 = _mulmod_lazy(x1, tf_ref[pi], tf_sh_ref[pi], p)
+                    data4 = _i8_limbs(x1.reshape(rows, n2), 4, axis=1)
+                    s2 = _dot_i8(data4, wfb_ref[pi])
+                    s2_m = [s2[:, m * n2:(m + 1) * n2] for m in range(4)]
+                    add2 = [cb_ref[pi, m] for m in range(4)]
+                    xh = _recombine_mxu(s2_m, add2, U32(d_right[pi]), rc[pi],
+                                        p, fold=False)
+                    d_hat[pi][li * R + r] = xh.reshape(bt, n1, n2)
+
+        # ---- 3. phases have landed ------------------------------------------
+        for c in copies:
+            c.wait()
+
+        # ---- 4. MAC ----------------------------------------------------------
+        spec = [[None] * R for _ in range(P)]
+        if mode == "delta":
+            for pi in range(P):
+                p = U32(primes[pi])
+                ph3 = ph_vmem[:, pi]
+                ph3_sh = ph_sh_vmem[:, pi]
+                for r in range(R):
+                    acc_s = None
+                    for j in range(J):
+                        t0 = _mulmod_lazy(d_hat[pi][j], bsk_ref[0, pi, j, r],
+                                          bsk_sh_ref[0, pi, j, r], p)
+                        acc_s = t0 if acc_s is None else _condsub2p(acc_s + t0, p)
+                    spec[pi][r] = _mulmod_lazy(acc_s, ph3, ph3_sh, p)
+        else:
+            for pi in range(P):
+                p = U32(primes[pi])
+                for v in range(V):
+                    d_use = (d_hat[pi] if v == 0 else
+                             [_mulmod_lazy(d_hat[pi][j],
+                                           ph_vmem[:, v - 1, pi],
+                                           ph_sh_vmem[:, v - 1, pi], p)
+                              for j in range(J)])
+                    for r in range(R):
+                        acc_s = spec[pi][r]
+                        for j in range(J):
+                            t0 = _mulmod_lazy(d_use[j],
+                                              bsk_ref[0, v, pi, j, r],
+                                              bsk_sh_ref[0, v, pi, j, r], p)
+                            acc_s = (t0 if acc_s is None else
+                                     _condsub2p(acc_s + t0, p))
+                        spec[pi][r] = acc_s
+
+        # ---- 5. inverse four-step NTT ----------------------------------------
+        res = [[None] * R for _ in range(P)]
+        for pi in range(P):
+            p = U32(primes[pi])
+            for r in range(R):
+                v2 = spec[pi][r]
+                data4 = _i8_limbs(v2.reshape(rows, n2), 4, axis=1)
+                s = _dot_i8(data4, wia_ref[pi])
+                s_m = [s[:, m * n2:(m + 1) * n2] for m in range(4)]
+                add_m = [cia_ref[pi, m] for m in range(4)]
+                d = _recombine_mxu(s_m, add_m, U32(d_right[pi]), rc[pi], p,
+                                   fold=False)
+                d = _mulmod_lazy(d.reshape(bt, n1, n2), ti_ref[pi],
+                                 ti_sh_ref[pi], p)
+                data4b = _i8_limbs(d.reshape(rows, n2), 4, axis=0)
+                s2 = _dot_i8(wib_ref[pi], data4b)
+                s2_m = [s2[m * rows:(m + 1) * rows].reshape(bt, n1, n2)
+                        for m in range(4)]
+                add2 = [cib_ref[pi, m] for m in range(4)]
+                x = _recombine_mxu(s2_m, add2, dib_ref[pi], rc[pi], p)
+                x = _condsub2p(x, p)
+                res[pi][r] = jnp.where(x >= p, x - p, x)
+
+        # ---- 6. Garner -> delta; update the resident accumulator ------------
+        for r in range(R):
+            t = [res[0][r]]
+            for i in range(1, P):
+                pi_p = primes[i]
+                p = U32(pi_p)
+                acc_g = None
+                for jj in range(i):
+                    term = _mulmod(t[jj], U32(g_w[i][jj]),
+                                   U32(shoup_int(g_w[i][jj], pi_p)), p)
+                    acc_g = term if acc_g is None else _addmod(acc_g, term, p)
+                diff = _submod(res[i][r], acc_g, p)
+                t.append(_mulmod(diff, U32(g_inv[i]),
+                                 U32(shoup_int(g_inv[i], pi_p)), p))
+            c_lo = jnp.zeros_like(t[0])
+            c_hi = jnp.zeros_like(t[0])
+            for i in range(P):
+                phi, plo = U32(prefix[i][0]), U32(prefix[i][1])
+                lo_t = t[i] * plo
+                hi_t = _mulhi32(t[i], plo) + t[i] * phi
+                c_lo = c_lo + lo_t
+                carry = (c_lo < lo_t).astype(U32)
+                c_hi = c_hi + hi_t + carry
+            ge = jnp.zeros(t[0].shape, dtype=jnp.bool_)
+            eq = jnp.ones(t[0].shape, dtype=jnp.bool_)
+            for i in range(P - 1, -1, -1):
+                h = U32(half_digits[i])
+                ge = ge | (eq & (t[i] > h))
+                eq = eq & (t[i] == h)
+            m_hi, m_lo = U32(m_mod[0]), U32(m_mod[1])
+            borrow = (c_lo < m_lo).astype(U32)
+            sub_lo = c_lo - m_lo
+            sub_hi = c_hi - m_hi - borrow
+            sel = ge | eq
+            d_lo = jnp.where(sel, sub_lo, c_lo)
+            d_hi = jnp.where(sel, sub_hi, c_hi)
+            if mode == "delta":
+                a_lo = out_lo_ref[:, r]
+                s_lo = a_lo + d_lo
+                carry = (s_lo < d_lo).astype(U32)
+                out_lo_ref[:, r] = s_lo
+                out_hi_ref[:, r] = out_hi_ref[:, r] + d_hi + carry
+            else:
+                out_lo_ref[:, r] = d_lo
+                out_hi_ref[:, r] = d_hi
+
+    return kernel
+
+
+def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
+                       mono_sh, decomp: DecompParams, log_q: int = 64,
+                       block_b: int = 8, interpret: bool = False,
+                       grouping: int = 1, mode: str = "delta"):
+    """Full blind rotation as ONE pallas_call (grid = batch tiles x steps).
+
+    mode="delta": bsk_u32 [n_in, P, J, R, N] (plain GGSW spectra, four-step
+    order); mode="multibit": bsk_u32 [n/g, 2^g, P, J, R, N].  mono_tab/sh:
+    the [2n, P, N1, N2] full-exponent tables ((X^e - 1) for delta, X^e for
+    multibit).  Returns the rotated accumulator [B, R, N] u64."""
+    from ..algorithms.bootstrap import modulus_switch
+    from . import fourstep as fs
+    from . import monomial_mul
+
+    n_steps = bsk_u32.shape[0]
+    if mode == "delta":
+        num_primes, glwe_size = bsk_u32.shape[1], bsk_u32.shape[3]
+    else:
+        num_primes, glwe_size = bsk_u32.shape[2], bsk_u32.shape[4]
+    n = bsk_u32.shape[-1]
+    n1, n2 = fs._split_nm(n)
+    V = 1 << grouping
+    NV = 1 if mode == "delta" else V - 1
+    batch = lwe_data.shape[:-1]
+
+    bt = min(block_b, max(int(np.prod(batch)), 1))
+    flat_b = int(np.prod(batch)) if batch else 1
+    pad = (-flat_b) % max(bt, 1)
+    if pad:
+        lwe_data = jnp.concatenate(
+            [lwe_data.reshape(flat_b, -1),
+             jnp.zeros((pad, lwe_data.shape[-1]), lwe_data.dtype)], axis=0)
+    else:
+        lwe_data = lwe_data.reshape(max(flat_b, 1), -1)
+    B = lwe_data.shape[0]
+
+    switched = modulus_switch(lwe_data, log_q, n)
+    a_sw, b_sw = switched[..., :-1], switched[..., -1]
+    mask = 2 * n - 1
+    if mode == "delta":
+        idx = (a_sw & mask).astype(jnp.int32)                    # [B, n_in]
+        idx2d = idx                                              # (bt, 1) blocks
+        idx_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, j),
+                                memory_space=pltpu.SMEM)
+    else:
+        sel = jnp.asarray([[(v >> (grouping - 1 - i)) & 1
+                            for i in range(grouping)]
+                           for v in range(1, V)], dtype=jnp.int32)  # [V-1, g]
+        a_grp = a_sw.reshape(B, n_steps, grouping)
+        c_v = jnp.einsum("bjg,vg->bjv", a_grp, sel) & mask       # [B, steps, V-1]
+        idx2d = c_v.transpose(1, 0, 2).reshape(n_steps, B * NV).astype(jnp.int32)
+        idx_spec = pl.BlockSpec((1, bt * NV), lambda i, j: (j, i),
+                                memory_space=pltpu.SMEM)
+
+    acc = monomial_mul(
+        jnp.broadcast_to(lut_data, b_sw.shape + lut_data.shape[-2:]),
+        (2 * n - b_sw)[..., None])
+    acc_hi = (acc >> jnp.uint64(32)).astype(jnp.uint32)
+    acc_lo = acc.astype(jnp.uint32)
+    acc_hi = acc_hi.reshape(acc_hi.shape[:-1] + (n1, n2))
+    acc_lo = acc_lo.reshape(acc_lo.shape[:-1] + (n1, n2))
+    bsk_u32 = bsk_u32.reshape(bsk_u32.shape[:-1] + (n1, n2))
+    bsk_sh_u32 = bsk_sh_u32.reshape(bsk_sh_u32.shape[:-1] + (n1, n2))
+    if mono_tab is None:   # eager/test path only (see blind_rotate_pallas)
+        tab, tab_sh = fs.monomial_full_tables(n, num_primes, mode == "delta")
+        mono_tab, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
+
+    plan = get_plan(n, num_primes)
+    primes = [int(p) for p in plan.primes]
+    assert all(p < (1 << 30) for p in primes)
+    kt = fs.get_kernel_tables(n, num_primes, bt)
+    kernel = _make_rotation_kernel_mxu(n, num_primes, glwe_size, decomp,
+                                       primes, log_q, grouping=grouping,
+                                       mode=mode, bt=bt, interpret=interpret)
+
+    grid = (B // bt, n_steps)
+    vm = pltpu.VMEM
+    zero = np.int32(0)
+
+    def bcast(shape):
+        return pl.BlockSpec(shape, lambda i, j, _z=zero, _r=len(shape):
+                            (_z,) * _r, memory_space=vm)
+
+    def tiled(shape):
+        return pl.BlockSpec((bt,) + shape[1:],
+                            lambda i, j, _z=zero, _r=len(shape) - 1:
+                            (i,) + (_z,) * _r, memory_space=vm)
+
+    bsk_spec = pl.BlockSpec((1,) + bsk_u32.shape[1:],
+                            lambda i, j, _z=zero, _r=bsk_u32.ndim - 1:
+                            (j,) + (_z,) * _r, memory_space=vm)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    tables = (kt.wfa, kt.ca, kt.da, kt.tf, kt.tf_sh, kt.wfb, kt.cb,
+              kt.wia, kt.cia, kt.ti, kt.ti_sh, kt.wib, kt.cib, kt.dib)
+    in_specs = ([idx_spec, tiled(acc_hi.shape), tiled(acc_lo.shape),
+                 bsk_spec, bsk_spec, any_spec, any_spec]
+                + [bcast(t.shape) for t in tables])
+    out_specs = (tiled(acc_hi.shape), tiled(acc_lo.shape))
+    out_shape = (jax.ShapeDtypeStruct(acc_hi.shape, jnp.uint32),
+                 jax.ShapeDtypeStruct(acc_lo.shape, jnp.uint32))
+    ph_shape = ((bt, num_primes, n1, n2) if mode == "delta" else
+                (bt, NV, num_primes, n1, n2))
+    scratch = [pltpu.VMEM(ph_shape, jnp.uint32),
+               pltpu.VMEM(ph_shape, jnp.uint32),
+               pltpu.SemaphoreType.DMA]
+    acc_hi_r, acc_lo_r = pl.pallas_call(
+        kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(idx2d, acc_hi, acc_lo, bsk_u32, bsk_sh_u32, mono_tab, mono_sh,
+      *(jnp.asarray(t) for t in tables))
+
+    acc_hi_r = acc_hi_r.reshape(acc_hi_r.shape[:-2] + (n,))
+    acc_lo_r = acc_lo_r.reshape(acc_lo_r.shape[:-2] + (n,))
+    out = (acc_hi_r.astype(jnp.uint64) << jnp.uint64(32)) | \
+        acc_lo_r.astype(jnp.uint64)
+    out = out[:flat_b] if pad else out
+    return out.reshape(batch + out.shape[-2:])
+
+
 def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
                         decomp: DecompParams, log_q: int = 64,
                         block_b: int = 8, interpret: bool = False,

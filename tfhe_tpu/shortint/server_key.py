@@ -105,8 +105,18 @@ class ServerKey:
             if (config.use_pallas_pbs() and self.bsk.data_u32 is not None
                     and acc.data.ndim == 2):
                 import os
-                from ..core.poly.pallas_ntt import multi_bit_blind_rotate_pallas
+                from ..core.poly.pallas_ntt import (
+                    blind_rotate_fused, multi_bit_blind_rotate_pallas)
                 block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "8"))
+                if (config.use_fused_rotation()
+                        and self.bsk.u32_order == "fourstep"):
+                    rotated = GlweCiphertext(data=blind_rotate_fused(
+                        acc.data, lwe.data, self.bsk.data_u32,
+                        self.bsk.shoup_u32, self.bsk.mono,
+                        self.bsk.mono_shoup, self.bsk.decomp, log_q=LOG_Q,
+                        block_b=block_b, mode="multibit",
+                        grouping=self.bsk.grouping_factor))
+                    return sample_extract(rotated, 0)
                 rotated = GlweCiphertext(data=multi_bit_blind_rotate_pallas(
                     acc.data, lwe.data, self.bsk.data_u32, self.bsk.shoup_u32,
                     self.bsk.decomp, self.bsk.grouping_factor, log_q=LOG_Q,
