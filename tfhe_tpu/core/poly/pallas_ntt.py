@@ -1098,10 +1098,16 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
         copies = []
         for b in range(bt):
             for v in range(NV):
-                # delta: idx block (bt, 1); multibit: (1, bt*NV)
-                e = idx_ref[b, 0] if NV == 1 else idx_ref[0, b * NV + v]
-                dst = ph_vmem.at[b] if NV == 1 else ph_vmem.at[b, v]
-                dst_sh = ph_sh_vmem.at[b] if NV == 1 else ph_sh_vmem.at[b, v]
+                # idx block rows = batch tile (x NV), cols = ALL steps
+                # (Mosaic requires the last block dim to equal the array's)
+                e = (idx_ref[b, j_step] if NV == 1 else
+                     idx_ref[b * NV + v, j_step])
+                # static slice indices must be i32 (x64 mode promotes
+                # Python ints to i64, which tpu.memref_slice rejects)
+                b32, v32 = np.int32(b), np.int32(v)
+                dst = ph_vmem.at[b32] if NV == 1 else ph_vmem.at[b32, v32]
+                dst_sh = (ph_sh_vmem.at[b32] if NV == 1 else
+                          ph_sh_vmem.at[b32, v32])
                 c1 = pltpu.make_async_copy(tab_ref.at[e], dst, sem)
                 c2 = pltpu.make_async_copy(tab_sh_ref.at[e], dst_sh, sem)
                 c1.start()
@@ -1304,9 +1310,11 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     a_sw, b_sw = switched[..., :-1], switched[..., -1]
     mask = 2 * n - 1
     if mode == "delta":
-        idx = (a_sw & mask).astype(jnp.int32)                    # [B, n_in]
-        idx2d = idx                                              # (bt, 1) blocks
-        idx_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, j),
+        idx2d = (a_sw & mask).astype(jnp.int32)                  # [B, n_in]
+        # one batch tile x ALL steps per block: Mosaic needs the last block
+        # dim equal to the array dim (or 128-divisible) even in SMEM
+        idx_spec = pl.BlockSpec((bt, n_steps),
+                                lambda i, j, _z=np.int32(0): (i, _z),
                                 memory_space=pltpu.SMEM)
     else:
         sel = jnp.asarray([[(v >> (grouping - 1 - i)) & 1
@@ -1314,8 +1322,9 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
                            for v in range(1, V)], dtype=jnp.int32)  # [V-1, g]
         a_grp = a_sw.reshape(B, n_steps, grouping)
         c_v = jnp.einsum("bjg,vg->bjv", a_grp, sel) & mask       # [B, steps, V-1]
-        idx2d = c_v.transpose(1, 0, 2).reshape(n_steps, B * NV).astype(jnp.int32)
-        idx_spec = pl.BlockSpec((1, bt * NV), lambda i, j: (j, i),
+        idx2d = c_v.transpose(0, 2, 1).reshape(B * NV, n_steps).astype(jnp.int32)
+        idx_spec = pl.BlockSpec((bt * NV, n_steps),
+                                lambda i, j, _z=np.int32(0): (i, _z),
                                 memory_space=pltpu.SMEM)
 
     acc = monomial_mul(
