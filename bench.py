@@ -28,7 +28,7 @@ REFERENCE_PBS_PER_SEC = 1000.0 / 16.6  # ≈ 60.2 (m6i.metal, 1 core)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--params", default="PARAM_MESSAGE_2_CARRY_2_KS_PBS")
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--test-params", action="store_true",
                     help="use the tiny insecure test set (CI smoke)")
