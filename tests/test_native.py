@@ -14,6 +14,17 @@ def test_aes_fips197_vector():
         "3925841d02dc09fbdc118597196a0b32"
 
 
+def test_backend_parity():
+    """AES-NI (when present) and the portable software path are bit-identical
+    (reference: aesni/soft generator implems, concrete-csprng §2.1)."""
+    assert native.backend() in ("aesni", "soft")
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = native.aes128_encrypt_block(key, pt)
+    assert ct == native.aes128_encrypt_block_soft(key, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # FIPS-197 C.1
+
+
 def test_stream_determinism_and_chunking():
     g1 = native.AesCtrGenerator(b"0123456789abcdef")
     g2 = native.AesCtrGenerator(b"0123456789abcdef")

@@ -1047,7 +1047,8 @@ def blind_rotate_step_pallas_mxu(ph, ph_sh, acc_hi, acc_lo, bsk_j, bsk_sh_j,
 def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                               decomp: DecompParams, primes, log_q: int = 64,
                               grouping: int = 1, mode: str = "delta",
-                              bt: int = 8, interpret: bool = False):
+                              bt: int = 8, interpret: bool = False,
+                              ablate: frozenset = frozenset()):
     """WHOLE blind rotation as one kernel: grid (batch tiles, steps).
 
     Per batch tile the accumulator lives in the OUTPUT block, which stays
@@ -1059,7 +1060,12 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
     exponents read from an SMEM block — the copies are issued before the
     forward NTT and waited just before the MAC, so the gather is free.
 
-    Same delta/multibit step semantics as _make_step_kernel_mxu."""
+    Same delta/multibit step semantics as _make_step_kernel_mxu.
+
+    `ablate` (profiling only — results become WRONG): a set of stage names
+    {"decomp","fwd","phase","mac","inv","garner"} each replaced by a cheap
+    passthrough, so timing deltas against the full kernel give the true
+    per-stage cost on hardware (tools/ablate_kernel.py)."""
     from . import fourstep as fs
 
     assert mode in ("delta", "multibit")
@@ -1096,7 +1102,7 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
 
         # ---- 0. start the phase-row DMAs (HBM table -> VMEM scratch) -------
         copies = []
-        for b in range(bt):
+        for b in range(bt if "phase" not in ablate else 0):
             for v in range(NV):
                 # idx block rows = batch tile (x NV), cols = ALL steps
                 # (Mosaic requires the last block dim to equal the array's)
@@ -1123,6 +1129,10 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
         # ---- 1. decompose the resident accumulator -------------------------
         digits = [[None] * R for _ in range(L)]
         for r in range(R):
+            if "decomp" in ablate:
+                for li in range(L):
+                    digits[li][r] = (out_hi_ref[:, r] & U32(base - 1)).astype(I32)
+                continue
             hi = out_hi_ref[:, r]
             lo = out_lo_ref[:, r]
             if shift - 1 >= 32:
@@ -1143,6 +1153,10 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
         for li in range(L):
             for r in range(R):
                 u = (digits[li][r] + I32(fs.DIGIT_OFF)).astype(U32)
+                if "fwd" in ablate:
+                    for pi in range(P):
+                        d_hat[pi][li * R + r] = u
+                    continue
                 data3 = _i8_limbs(u.reshape(rows, n2), 3, axis=0)
                 for pi in range(P):
                     p = U32(primes[pi])
@@ -1167,7 +1181,11 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
 
         # ---- 4. MAC ----------------------------------------------------------
         spec = [[None] * R for _ in range(P)]
-        if mode == "delta":
+        if "mac" in ablate:
+            for pi in range(P):
+                for r in range(R):
+                    spec[pi][r] = d_hat[pi][r % J]
+        elif mode == "delta":
             for pi in range(P):
                 p = U32(primes[pi])
                 ph3 = ph_vmem[:, pi]
@@ -1178,12 +1196,13 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                         t0 = _mulmod_lazy(d_hat[pi][j], bsk_ref[0, pi, j, r],
                                           bsk_sh_ref[0, pi, j, r], p)
                         acc_s = t0 if acc_s is None else _condsub2p(acc_s + t0, p)
-                    spec[pi][r] = _mulmod_lazy(acc_s, ph3, ph3_sh, p)
+                    spec[pi][r] = (acc_s if "phase" in ablate else
+                                   _mulmod_lazy(acc_s, ph3, ph3_sh, p))
         else:
             for pi in range(P):
                 p = U32(primes[pi])
                 for v in range(V):
-                    d_use = (d_hat[pi] if v == 0 else
+                    d_use = (d_hat[pi] if v == 0 or "phase" in ablate else
                              [_mulmod_lazy(d_hat[pi][j],
                                            ph_vmem[:, v - 1, pi],
                                            ph_sh_vmem[:, v - 1, pi], p)
@@ -1204,6 +1223,10 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
             p = U32(primes[pi])
             for r in range(R):
                 v2 = spec[pi][r]
+                if "inv" in ablate:
+                    x = _condsub2p(_condsub2p(v2, p + p), p)
+                    res[pi][r] = jnp.where(x >= p, x - p, x)
+                    continue
                 data4 = _i8_limbs(v2.reshape(rows, n2), 4, axis=1)
                 s = _dot_i8(data4, wia_ref[pi])
                 s_m = [s[:, m * n2:(m + 1) * n2] for m in range(4)]
@@ -1223,6 +1246,18 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
 
         # ---- 6. Garner -> delta; update the resident accumulator ------------
         for r in range(R):
+            if "garner" in ablate:
+                d_lo = res[0][r]
+                d_hi = res[P - 1][r]
+                if mode == "delta":
+                    s_lo = out_lo_ref[:, r] + d_lo
+                    carry = (s_lo < d_lo).astype(U32)
+                    out_lo_ref[:, r] = s_lo
+                    out_hi_ref[:, r] = out_hi_ref[:, r] + d_hi + carry
+                else:
+                    out_lo_ref[:, r] = d_lo
+                    out_hi_ref[:, r] = d_hi
+                continue
             t = [res[0][r]]
             for i in range(1, P):
                 pi_p = primes[i]
@@ -1273,7 +1308,8 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
 def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
                        mono_sh, decomp: DecompParams, log_q: int = 64,
                        block_b: int = 8, interpret: bool = False,
-                       grouping: int = 1, mode: str = "delta"):
+                       grouping: int = 1, mode: str = "delta",
+                       ablate: frozenset = frozenset()):
     """Full blind rotation as ONE pallas_call (grid = batch tiles x steps).
 
     mode="delta": bsk_u32 [n_in, P, J, R, N] (plain GGSW spectra, four-step
@@ -1346,7 +1382,8 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     kt = fs.get_kernel_tables(n, num_primes, bt)
     kernel = _make_rotation_kernel_mxu(n, num_primes, glwe_size, decomp,
                                        primes, log_q, grouping=grouping,
-                                       mode=mode, bt=bt, interpret=interpret)
+                                       mode=mode, bt=bt, interpret=interpret,
+                                       ablate=ablate)
 
     grid = (B // bt, n_steps)
     vm = pltpu.VMEM

@@ -36,6 +36,8 @@ def _lib():
         lib.csprng_fork.restype = ctypes.c_void_p
         lib.csprng_fork.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
         lib.csprng_aes_block.argtypes = [ctypes.c_char_p] * 3
+        lib.csprng_aes_block_soft.argtypes = [ctypes.c_char_p] * 3
+        lib.csprng_backend.restype = ctypes.c_int
         _LIB = lib
     return _LIB
 
@@ -76,3 +78,16 @@ def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
     out = ctypes.create_string_buffer(16)
     _lib().csprng_aes_block(key, block, out)
     return out.raw
+
+
+def aes128_encrypt_block_soft(key: bytes, block: bytes) -> bytes:
+    """Portable-software twin of aes128_encrypt_block (backend parity tests)."""
+    out = ctypes.create_string_buffer(16)
+    _lib().csprng_aes_block_soft(key, block, out)
+    return out.raw
+
+
+def backend() -> str:
+    """Live AES backend: "aesni" (hardware, runtime-detected) or "soft"
+    (reference analogue: concrete-csprng's aesni/soft implems, §2.1)."""
+    return "aesni" if _lib().csprng_backend() == 1 else "soft"

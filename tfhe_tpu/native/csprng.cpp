@@ -5,15 +5,24 @@
 // stream over an AES-CTR keystream, fork()-able into deterministic child
 // streams so parallel key generation reproduces sequential output.
 //
-// Software AES (FIPS-197) — portable, constant-table implementation.  The
-// x86 AES-NI path can be added behind __AES__ later; correctness and the
-// fork-tree contract come first.  Exposed to Python via ctypes (no pybind11
-// in this image).
+// Two backends, mirroring the reference's aesni/soft split
+// (concrete-csprng/src/generators/implem/): a hardware AES-NI pipeline
+// (runtime CPUID detection, per-function target attributes so the library
+// still loads on machines without AES-NI) and a portable software AES
+// (FIPS-197, constant-table) fallback.  Both produce bit-identical streams.
+// Set TFHE_CSPRNG_FORCE_SOFT=1 to pin the software path (tests compare the
+// two).  Exposed to Python via ctypes (no pybind11 in this image).
 //
 // Build: g++ -O3 -shared -fPIC -o libtfhe_csprng.so csprng.cpp
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+
+#if defined(__x86_64__) || defined(__i386__)
+#define TFHE_X86 1
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -65,7 +74,7 @@ void aes128_key_expand(const uint8_t key[16], AesKey* out) {
     }
 }
 
-void aes128_encrypt_block(const AesKey& k, const uint8_t in[16], uint8_t out[16]) {
+void aes128_encrypt_block_soft(const AesKey& k, const uint8_t in[16], uint8_t out[16]) {
     uint8_t s[16];
     for (int i = 0; i < 16; ++i) s[i] = in[i] ^ k.round_keys[i];
     for (int round = 1; round <= 10; ++round) {
@@ -91,6 +100,47 @@ void aes128_encrypt_block(const AesKey& k, const uint8_t in[16], uint8_t out[16]
         for (int i = 0; i < 16; ++i) s[i] ^= k.round_keys[16 * round + i];
     }
     std::memcpy(out, s, 16);
+}
+
+#ifdef TFHE_X86
+// Hardware pipeline: 10 aesenc rounds on the soft-expanded round keys (the
+// schedule is backend-independent, so streams match the soft path exactly).
+__attribute__((target("aes,sse2")))
+void aes128_encrypt_block_ni(const AesKey& k, const uint8_t in[16], uint8_t out[16]) {
+    __m128i s = _mm_loadu_si128(reinterpret_cast<const __m128i*>(in));
+    s = _mm_xor_si128(s, _mm_loadu_si128(
+        reinterpret_cast<const __m128i*>(k.round_keys)));
+    for (int round = 1; round < 10; ++round)
+        s = _mm_aesenc_si128(s, _mm_loadu_si128(
+            reinterpret_cast<const __m128i*>(k.round_keys + 16 * round)));
+    s = _mm_aesenclast_si128(s, _mm_loadu_si128(
+        reinterpret_cast<const __m128i*>(k.round_keys + 160)));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(out), s);
+}
+#endif
+
+bool aesni_available() {
+    static int cached = -1;
+    if (cached < 0) {
+#ifdef TFHE_X86
+        const char* force = std::getenv("TFHE_CSPRNG_FORCE_SOFT");
+        cached = (force && force[0] == '1') ? 0
+                 : (__builtin_cpu_supports("aes") ? 1 : 0);
+#else
+        cached = 0;
+#endif
+    }
+    return cached == 1;
+}
+
+void aes128_encrypt_block(const AesKey& k, const uint8_t in[16], uint8_t out[16]) {
+#ifdef TFHE_X86
+    if (aesni_available()) {
+        aes128_encrypt_block_ni(k, in, out);
+        return;
+    }
+#endif
+    aes128_encrypt_block_soft(k, in, out);
 }
 
 struct Generator {
@@ -149,5 +199,16 @@ void csprng_aes_block(const uint8_t key[16], const uint8_t in[16], uint8_t out[1
     aes128_key_expand(key, &k);
     aes128_encrypt_block(k, in, out);
 }
+
+// software-path twin, so tests can assert aesni == soft on any machine
+void csprng_aes_block_soft(const uint8_t key[16], const uint8_t in[16],
+                           uint8_t out[16]) {
+    AesKey k;
+    aes128_key_expand(key, &k);
+    aes128_encrypt_block_soft(k, in, out);
+}
+
+// which backend is live: 1 = AES-NI hardware, 0 = portable software
+int csprng_backend() { return aesni_available() ? 1 : 0; }
 
 }  // extern "C"
