@@ -212,8 +212,7 @@ def _make_step_kernel(n: int, num_primes: int, glwe_size: int,
     assert shift >= 32, "decomposition must keep >= 32 low bits (all named sets do)"
     plan = get_plan(n, num_primes)
     # Garner constants as u32 python ints
-    g_inv = [int(x) for x in plan.garner_inv]
-    g_w = [[int(x) for x in row] for row in plan.garner_weights]
+    g_hinv = _garner_consts(primes)
     prefix = [(int(x) >> 32, int(x) & 0xFFFFFFFF) for x in plan.prefix_mod]
     m_mod = (plan.M_mod >> 32, plan.M_mod & 0xFFFFFFFF)
     half_digits = [int(x) for x in plan.half_digits]
@@ -344,41 +343,11 @@ def _make_step_kernel(n: int, num_primes: int, glwe_size: int,
 
         # ---- 6. Garner CRT → (hi, lo), signed lift, write -----------------
         for r in range(R):
-            t = [res[0][r]]
-            for i in range(1, P):
-                pi_p = primes[i]
-                p = U32(pi_p)
-                acc_g = None
-                for jj in range(i):
-                    term = _mulmod(t[jj], U32(g_w[i][jj]),
-                                   U32(shoup_int(g_w[i][jj], pi_p)), p)
-                    acc_g = term if acc_g is None else _addmod(acc_g, term, p)
-                diff = _submod(res[i][r], acc_g, p)
-                t.append(_mulmod(diff, U32(g_inv[i]),
-                                 U32(shoup_int(g_inv[i], pi_p)), p))
-            c_lo = jnp.zeros_like(t[0])
-            c_hi = jnp.zeros_like(t[0])
-            for i in range(P):
-                phi, plo = U32(prefix[i][0]), U32(prefix[i][1])
-                lo_t = t[i] * plo
-                hi_t = _mulhi32(t[i], plo) + t[i] * phi
-                c_lo = c_lo + lo_t
-                carry = (c_lo < lo_t).astype(U32)
-                c_hi = c_hi + hi_t + carry
-            # signed lift: subtract M where mixed-radix value >= M/2
-            ge = jnp.zeros(t[0].shape, dtype=jnp.bool_)
-            eq = jnp.ones(t[0].shape, dtype=jnp.bool_)
-            for i in range(P - 1, -1, -1):
-                h = U32(half_digits[i])
-                ge = ge | (eq & (t[i] > h))
-                eq = eq & (t[i] == h)
-            m_hi, m_lo = U32(m_mod[0]), U32(m_mod[1])
-            borrow = (c_lo < m_lo).astype(U32)
-            sub_lo = c_lo - m_lo
-            sub_hi = c_hi - m_hi - borrow
-            sel = ge | eq
-            out_lo_ref[:, r, :] = jnp.where(sel, sub_lo, c_lo)
-            out_hi_ref[:, r, :] = jnp.where(sel, sub_hi, c_hi)
+            t = _garner_digits_horner([res[i][r] for i in range(P)],
+                                      primes, g_hinv)
+            d_hi, d_lo = _garner_combine_u64(t, prefix, half_digits, m_mod)
+            out_lo_ref[:, r, :] = d_lo
+            out_hi_ref[:, r, :] = d_hi
 
     return kernel
 
@@ -402,6 +371,80 @@ def _mulmod_generic(a, b, p_u32, p_int: int):
         lo_red = jnp.where(lo_red >= p_u32, lo_red - p_u32, lo_red)
     # part < 2p, lo_red < 2^32 - 3p  ⇒  sum < 2^32 - p: no u32 overflow
     return part + lo_red
+
+
+def _reduce_lt_p(a, p_u32, p_int: int):
+    """Exact a mod p for any u32 a: one lazy Shoup multiply by w = 1
+    (a*1 is free, so 4 hardware multiplies) + final conditional subtract."""
+    ws = U32(shoup_int(1, p_int))
+    q = _mulhi32_approx(a, ws)
+    r = a - q * p_u32                      # < 4p (same bound as _mulmod)
+    r = _condsub2p(r, p_u32)
+    return jnp.where(r >= p_u32, r - p_u32, r)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel Garner CRT reconstruction (shared by every fused kernel)
+# ---------------------------------------------------------------------------
+
+
+def _garner_consts(primes):
+    """Horner-chain constants: inv[i][j] = (p_j^-1 mod p_i, shoup twin)."""
+    P = len(primes)
+    inv = [[None] * P for _ in range(P)]
+    for i in range(1, P):
+        for j in range(i):
+            v = pow(primes[j] % primes[i], primes[i] - 2, primes[i])
+            inv[i][j] = (v, shoup_int(v, primes[i]))
+    return inv
+
+
+def _garner_digits_horner(res, primes, inv):
+    """CRT residues → exact mixed-radix digits t_i < p_i.
+
+    Horner form of Garner: t_i = (..((r_i − t_0)·p_0^-1 − t_1)·p_1^-1 ..)
+    ·p_{i-1}^-1 (mod p_i) — one modular multiply per (i, j) pair, vs the
+    textbook Σ t_j·Π p_k accumulation's two.  Contract: res[0] exact < p_0;
+    res[i≥1] may be lazy (< 2 p_i).  All primes ≈ 2^30, so the +2p offset
+    keeps every subtraction positive and < 4p (lazy-multiply safe)."""
+    t = [res[0]]
+    for i in range(1, len(primes)):
+        p = U32(primes[i])
+        u = res[i]
+        for j in range(i):
+            diff = u + (p + p) - t[j]      # u < 2p_i, t_j < p_j < 2p_i ⇒ < 4p
+            w, ws = inv[i][j]
+            mul = _mulmod_lazy if j < i - 1 else _mulmod
+            u = mul(diff, U32(w), U32(ws), p)
+        t.append(u)
+    return t
+
+
+def _garner_combine_u64(t, prefix, half_digits, m_mod):
+    """Mixed-radix digits → ((hi, lo) u32 pair of the signed-lifted value
+    mod 2^64).  prefix[i] = Π_{j<i} p_j mod 2^64 as (hi, lo) ints; digit 0's
+    weight is 1, so it seeds the accumulator without multiplies."""
+    c_lo = t[0]
+    c_hi = jnp.zeros_like(t[0])
+    for i in range(1, len(t)):
+        phi, plo = U32(prefix[i][0]), U32(prefix[i][1])
+        lo_t = t[i] * plo
+        hi_t = _mulhi32(t[i], plo) + t[i] * phi
+        c_lo = c_lo + lo_t
+        carry = (c_lo < lo_t).astype(U32)
+        c_hi = c_hi + hi_t + carry
+    ge = jnp.zeros(t[0].shape, dtype=jnp.bool_)
+    eq = jnp.ones(t[0].shape, dtype=jnp.bool_)
+    for i in range(len(t) - 1, -1, -1):
+        h = U32(half_digits[i])
+        ge = ge | (eq & (t[i] > h))
+        eq = eq & (t[i] == h)
+    m_hi, m_lo = U32(m_mod[0]), U32(m_mod[1])
+    borrow = (c_lo < m_lo).astype(U32)
+    sel = ge | eq
+    d_lo = jnp.where(sel, c_lo - m_lo, c_lo)
+    d_hi = jnp.where(sel, c_hi - m_hi - borrow, c_hi)
+    return d_hi, d_lo
 
 
 # ---------------------------------------------------------------------------
@@ -556,8 +599,7 @@ def _make_step_kernel_mxu(n: int, num_primes: int, glwe_size: int,
     n1 = fs._split_nm(n)[0]
     n2 = fs._split_nm(n)[1]
     plan = get_plan(n, num_primes)
-    g_inv = [int(x) for x in plan.garner_inv]
-    g_w = [[int(x) for x in row] for row in plan.garner_weights]
+    g_hinv = _garner_consts(primes)
     prefix = [(int(x) >> 32, int(x) & 0xFFFFFFFF) for x in plan.prefix_mod]
     m_mod = (plan.M_mod >> 32, plan.M_mod & 0xFFFFFFFF)
     half_digits = [int(x) for x in plan.half_digits]
@@ -668,46 +710,19 @@ def _make_step_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                 s2_m = [s2[m * rows:(m + 1) * rows].reshape(bt, n1, n2)
                         for m in range(4)]
                 add2 = [cib_ref[pi, m] for m in range(4)]
-                x = _recombine_mxu(s2_m, add2, dib_ref[pi], rc[pi], p)
+                # fold=False output < 3p + 2^26: one condsub makes it a
+                # lazy (< 2p) residue, which the Horner Garner chain accepts
+                # for i >= 1; only prime 0's digit needs the exact reduction
+                x = _recombine_mxu(s2_m, add2, dib_ref[pi], rc[pi], p,
+                                   fold=False)
                 x = _condsub2p(x, p)
-                res[pi][r] = jnp.where(x >= p, x - p, x)     # exact < p
+                res[pi][r] = _reduce_lt_p(x, p, primes[0]) if pi == 0 else x
 
         # ---- 6. Garner CRT -> (hi, lo), signed lift, write -----------------
         for r in range(R):
-            t = [res[0][r]]
-            for i in range(1, P):
-                pi_p = primes[i]
-                p = U32(pi_p)
-                acc_g = None
-                for jj in range(i):
-                    term = _mulmod(t[jj], U32(g_w[i][jj]),
-                                   U32(shoup_int(g_w[i][jj], pi_p)), p)
-                    acc_g = term if acc_g is None else _addmod(acc_g, term, p)
-                diff = _submod(res[i][r], acc_g, p)
-                t.append(_mulmod(diff, U32(g_inv[i]),
-                                 U32(shoup_int(g_inv[i], pi_p)), p))
-            c_lo = jnp.zeros_like(t[0])
-            c_hi = jnp.zeros_like(t[0])
-            for i in range(P):
-                phi, plo = U32(prefix[i][0]), U32(prefix[i][1])
-                lo_t = t[i] * plo
-                hi_t = _mulhi32(t[i], plo) + t[i] * phi
-                c_lo = c_lo + lo_t
-                carry = (c_lo < lo_t).astype(U32)
-                c_hi = c_hi + hi_t + carry
-            ge = jnp.zeros(t[0].shape, dtype=jnp.bool_)
-            eq = jnp.ones(t[0].shape, dtype=jnp.bool_)
-            for i in range(P - 1, -1, -1):
-                h = U32(half_digits[i])
-                ge = ge | (eq & (t[i] > h))
-                eq = eq & (t[i] == h)
-            m_hi, m_lo = U32(m_mod[0]), U32(m_mod[1])
-            borrow = (c_lo < m_lo).astype(U32)
-            sub_lo = c_lo - m_lo
-            sub_hi = c_hi - m_hi - borrow
-            sel = ge | eq
-            d_lo = jnp.where(sel, sub_lo, c_lo)
-            d_hi = jnp.where(sel, sub_hi, c_hi)
+            t = _garner_digits_horner([res[i][r] for i in range(P)],
+                                      primes, g_hinv)
+            d_hi, d_lo = _garner_combine_u64(t, prefix, half_digits, m_mod)
             if mode == "delta":
                 # acc += delta (two-limb wraparound add mod 2^64)
                 s_lo = acc_lo_ref[:, r] + d_lo
@@ -756,8 +771,7 @@ def _make_step_kernel_mxu_lanes(n: int, num_primes: int, glwe_size: int,
     assert B_log <= 24
     n1, n2 = fs._split_nm(n)
     plan = get_plan(n, num_primes)
-    g_inv = [int(x) for x in plan.garner_inv]
-    g_w = [[int(x) for x in row] for row in plan.garner_weights]
+    g_hinv = _garner_consts(primes)
     prefix = [(int(x) >> 32, int(x) & 0xFFFFFFFF) for x in plan.prefix_mod]
     m_mod = (plan.M_mod >> 32, plan.M_mod & 0xFFFFFFFF)
     half_digits = [int(x) for x in plan.half_digits]
@@ -874,46 +888,19 @@ def _make_step_kernel_mxu_lanes(n: int, num_primes: int, glwe_size: int,
                 s2 = _dot_i8(wib_ref[pi], data4b)
                 s2_m = [s2[m * n1:(m + 1) * n1] for m in range(4)]
                 add2 = [cib_ref[pi, m] for m in range(4)]
-                x = _recombine_mxu(s2_m, add2, dib_ref[pi], rc[pi], p)
+                # fold=False output < 3p + 2^26: one condsub makes it a
+                # lazy (< 2p) residue, which the Horner Garner chain accepts
+                # for i >= 1; only prime 0's digit needs the exact reduction
+                x = _recombine_mxu(s2_m, add2, dib_ref[pi], rc[pi], p,
+                                   fold=False)
                 x = _condsub2p(x, p)
-                res[pi][r] = jnp.where(x >= p, x - p, x)  # exact < p
+                res[pi][r] = _reduce_lt_p(x, p, primes[0]) if pi == 0 else x
 
         # ---- 6. Garner CRT -> (hi, lo), signed lift, write ------------------
         for r in range(R):
-            t = [res[0][r]]
-            for i in range(1, P):
-                pi_p = primes[i]
-                p = U32(pi_p)
-                acc_g = None
-                for jj in range(i):
-                    term = _mulmod(t[jj], U32(g_w[i][jj]),
-                                   U32(shoup_int(g_w[i][jj], pi_p)), p)
-                    acc_g = term if acc_g is None else _addmod(acc_g, term, p)
-                diff = _submod(res[i][r], acc_g, p)
-                t.append(_mulmod(diff, U32(g_inv[i]),
-                                 U32(shoup_int(g_inv[i], pi_p)), p))
-            c_lo = jnp.zeros_like(t[0])
-            c_hi = jnp.zeros_like(t[0])
-            for i in range(P):
-                phi, plo = U32(prefix[i][0]), U32(prefix[i][1])
-                lo_t = t[i] * plo
-                hi_t = _mulhi32(t[i], plo) + t[i] * phi
-                c_lo = c_lo + lo_t
-                carry = (c_lo < lo_t).astype(U32)
-                c_hi = c_hi + hi_t + carry
-            ge = jnp.zeros(t[0].shape, dtype=jnp.bool_)
-            eq = jnp.ones(t[0].shape, dtype=jnp.bool_)
-            for i in range(P - 1, -1, -1):
-                h = U32(half_digits[i])
-                ge = ge | (eq & (t[i] > h))
-                eq = eq & (t[i] == h)
-            m_hi, m_lo = U32(m_mod[0]), U32(m_mod[1])
-            borrow = (c_lo < m_lo).astype(U32)
-            sub_lo = c_lo - m_lo
-            sub_hi = c_hi - m_hi - borrow
-            sel = ge | eq
-            d_lo = jnp.where(sel, sub_lo, c_lo)
-            d_hi = jnp.where(sel, sub_hi, c_hi)
+            t = _garner_digits_horner([res[i][r] for i in range(P)],
+                                      primes, g_hinv)
+            d_hi, d_lo = _garner_combine_u64(t, prefix, half_digits, m_mod)
             if mode == "delta":
                 s_lo = acc_lo_ref[r] + d_lo
                 carry = (s_lo < d_lo).astype(U32)
@@ -1048,7 +1035,7 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                               decomp: DecompParams, primes, log_q: int = 64,
                               grouping: int = 1, mode: str = "delta",
                               bt: int = 8, interpret: bool = False,
-                              ablate: frozenset = frozenset()):
+                              ablate: frozenset = frozenset(), spc: int = 1):
     """WHOLE blind rotation as one kernel: grid (batch tiles, steps).
 
     Per batch tile the accumulator lives in the OUTPUT block, which stays
@@ -1065,7 +1052,13 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
     `ablate` (profiling only — results become WRONG): a set of stage names
     {"decomp","fwd","phase","mac","inv","garner"} each replaced by a cheap
     passthrough, so timing deltas against the full kernel give the true
-    per-stage cost on hardware (tools/ablate_kernel.py)."""
+    per-stage cost on hardware (tools/ablate_kernel.py).
+
+    `spc` (steps per cell): unrolls that many consecutive blind-rotation
+    steps into one grid cell — the per-cell Mosaic iteration overhead
+    (measured ~2.4 µs across 21 operands) is paid once per `spc` steps.  The
+    BSK input block grows to `spc` step slices (still pipelined from HBM)
+    and the phase scratch gains a leading `spc` axis."""
     from . import fourstep as fs
 
     assert mode in ("delta", "multibit")
@@ -1083,8 +1076,7 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
     assert B_log <= 24
     n1, n2 = fs._split_nm(n)
     plan = get_plan(n, num_primes)
-    g_inv = [int(x) for x in plan.garner_inv]
-    g_w = [[int(x) for x in row] for row in plan.garner_weights]
+    g_hinv = _garner_consts(primes)
     prefix = [(int(x) >> 32, int(x) & 0xFFFFFFFF) for x in plan.prefix_mod]
     m_mod = (plan.M_mod >> 32, plan.M_mod & 0xFFFFFFFF)
     half_digits = [int(x) for x in plan.half_digits]
@@ -1097,35 +1089,51 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                wfa_ref, ca_ref, da_ref, tf_ref, tf_sh_ref, wfb_ref, cb_ref,
                wia_ref, cia_ref, ti_ref, ti_sh_ref, wib_ref, cib_ref, dib_ref,
                out_hi_ref, out_lo_ref, ph_vmem, ph_sh_vmem, sem):
-        j_step = pl.program_id(1)
+        j_cell = pl.program_id(1)
         rows = bt * n1
 
-        # ---- 0. start the phase-row DMAs (HBM table -> VMEM scratch) -------
-        copies = []
-        for b in range(bt if "phase" not in ablate else 0):
-            for v in range(NV):
-                # idx block rows = batch tile (x NV), cols = ALL steps
-                # (Mosaic requires the last block dim to equal the array's)
-                e = (idx_ref[b, j_step] if NV == 1 else
-                     idx_ref[b * NV + v, j_step])
-                # static slice indices must be i32 (x64 mode promotes
-                # Python ints to i64, which tpu.memref_slice rejects)
-                b32, v32 = np.int32(b), np.int32(v)
-                dst = ph_vmem.at[b32] if NV == 1 else ph_vmem.at[b32, v32]
-                dst_sh = (ph_sh_vmem.at[b32] if NV == 1 else
-                          ph_sh_vmem.at[b32, v32])
-                c1 = pltpu.make_async_copy(tab_ref.at[e], dst, sem)
-                c2 = pltpu.make_async_copy(tab_sh_ref.at[e], dst_sh, sem)
-                c1.start()
-                c2.start()
-                copies += [c1, c2]
+        # ---- 0. start ALL substeps' phase-row DMAs (HBM table -> VMEM) -----
+        # issued before any compute so the gathers hide behind the NTTs
+        copies = [[] for _ in range(spc)]
+        for sub in range(spc if "phase" not in ablate else 0):
+            # keep index arithmetic i32 (x64 mode promotes python ints)
+            j_step = j_cell * np.int32(spc) + np.int32(sub)
+            for b in range(bt):
+                for v in range(NV):
+                    # idx block rows = batch tile (x NV), cols = ALL steps
+                    # (Mosaic requires the last block dim equal the array's)
+                    e = (idx_ref[b, j_step] if NV == 1 else
+                         idx_ref[b * NV + v, j_step])
+                    # static slice indices must be i32 (x64 mode promotes
+                    # Python ints to i64, which tpu.memref_slice rejects)
+                    s32, b32, v32 = np.int32(sub), np.int32(b), np.int32(v)
+                    dst = (ph_vmem.at[s32, b32] if NV == 1 else
+                           ph_vmem.at[s32, b32, v32])
+                    dst_sh = (ph_sh_vmem.at[s32, b32] if NV == 1 else
+                              ph_sh_vmem.at[s32, b32, v32])
+                    c1 = pltpu.make_async_copy(tab_ref.at[e], dst, sem)
+                    c2 = pltpu.make_async_copy(tab_sh_ref.at[e], dst_sh, sem)
+                    c1.start()
+                    c2.start()
+                    copies[sub] += [c1, c2]
 
-        # ---- 0b. first step: seed the resident accumulator -----------------
-        @pl.when(j_step == 0)
+        # ---- 0b. first cell: seed the resident accumulator -----------------
+        @pl.when(j_cell == 0)
         def _init():
             out_hi_ref[...] = acc_hi_in[...]
             out_lo_ref[...] = acc_lo_in[...]
 
+        for sub in range(spc):
+            _do_step(sub, copies[sub], bsk_ref, bsk_sh_ref,
+                     wfa_ref, ca_ref, da_ref, tf_ref, tf_sh_ref, wfb_ref,
+                     cb_ref, wia_ref, cia_ref, ti_ref, ti_sh_ref, wib_ref,
+                     cib_ref, dib_ref, out_hi_ref, out_lo_ref,
+                     ph_vmem, ph_sh_vmem, rows)
+
+    def _do_step(sub, step_copies, bsk_ref, bsk_sh_ref,
+                 wfa_ref, ca_ref, da_ref, tf_ref, tf_sh_ref, wfb_ref, cb_ref,
+                 wia_ref, cia_ref, ti_ref, ti_sh_ref, wib_ref, cib_ref,
+                 dib_ref, out_hi_ref, out_lo_ref, ph_vmem, ph_sh_vmem, rows):
         # ---- 1. decompose the resident accumulator -------------------------
         digits = [[None] * R for _ in range(L)]
         for r in range(R):
@@ -1175,11 +1183,12 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                                         p, fold=False)
                     d_hat[pi][li * R + r] = xh.reshape(bt, n1, n2)
 
-        # ---- 3. phases have landed ------------------------------------------
-        for c in copies:
+        # ---- 3. this substep's phases have landed ---------------------------
+        for c in step_copies:
             c.wait()
 
         # ---- 4. MAC ----------------------------------------------------------
+        sub32 = np.int32(sub)
         spec = [[None] * R for _ in range(P)]
         if "mac" in ablate:
             for pi in range(P):
@@ -1188,13 +1197,13 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
         elif mode == "delta":
             for pi in range(P):
                 p = U32(primes[pi])
-                ph3 = ph_vmem[:, pi]
-                ph3_sh = ph_sh_vmem[:, pi]
+                ph3 = ph_vmem[sub32, :, pi]
+                ph3_sh = ph_sh_vmem[sub32, :, pi]
                 for r in range(R):
                     acc_s = None
                     for j in range(J):
-                        t0 = _mulmod_lazy(d_hat[pi][j], bsk_ref[0, pi, j, r],
-                                          bsk_sh_ref[0, pi, j, r], p)
+                        t0 = _mulmod_lazy(d_hat[pi][j], bsk_ref[sub32, pi, j, r],
+                                          bsk_sh_ref[sub32, pi, j, r], p)
                         acc_s = t0 if acc_s is None else _condsub2p(acc_s + t0, p)
                     spec[pi][r] = (acc_s if "phase" in ablate else
                                    _mulmod_lazy(acc_s, ph3, ph3_sh, p))
@@ -1204,15 +1213,15 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                 for v in range(V):
                     d_use = (d_hat[pi] if v == 0 or "phase" in ablate else
                              [_mulmod_lazy(d_hat[pi][j],
-                                           ph_vmem[:, v - 1, pi],
-                                           ph_sh_vmem[:, v - 1, pi], p)
+                                           ph_vmem[sub32, :, v - 1, pi],
+                                           ph_sh_vmem[sub32, :, v - 1, pi], p)
                               for j in range(J)])
                     for r in range(R):
                         acc_s = spec[pi][r]
                         for j in range(J):
                             t0 = _mulmod_lazy(d_use[j],
-                                              bsk_ref[0, v, pi, j, r],
-                                              bsk_sh_ref[0, v, pi, j, r], p)
+                                              bsk_ref[sub32, v, pi, j, r],
+                                              bsk_sh_ref[sub32, v, pi, j, r], p)
                             acc_s = (t0 if acc_s is None else
                                      _condsub2p(acc_s + t0, p))
                         spec[pi][r] = acc_s
@@ -1240,61 +1249,25 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                 s2_m = [s2[m * rows:(m + 1) * rows].reshape(bt, n1, n2)
                         for m in range(4)]
                 add2 = [cib_ref[pi, m] for m in range(4)]
-                x = _recombine_mxu(s2_m, add2, dib_ref[pi], rc[pi], p)
+                # fold=False output < 3p + 2^26: one condsub makes it a
+                # lazy (< 2p) residue, which the Horner Garner chain accepts
+                # for i >= 1; only prime 0's digit needs the exact reduction
+                x = _recombine_mxu(s2_m, add2, dib_ref[pi], rc[pi], p,
+                                   fold=False)
                 x = _condsub2p(x, p)
-                res[pi][r] = jnp.where(x >= p, x - p, x)
+                res[pi][r] = _reduce_lt_p(x, p, primes[0]) if pi == 0 else x
 
         # ---- 6. Garner -> delta; update the resident accumulator ------------
         for r in range(R):
             if "garner" in ablate:
                 d_lo = res[0][r]
                 d_hi = res[P - 1][r]
-                if mode == "delta":
-                    s_lo = out_lo_ref[:, r] + d_lo
-                    carry = (s_lo < d_lo).astype(U32)
-                    out_lo_ref[:, r] = s_lo
-                    out_hi_ref[:, r] = out_hi_ref[:, r] + d_hi + carry
-                else:
-                    out_lo_ref[:, r] = d_lo
-                    out_hi_ref[:, r] = d_hi
-                continue
-            t = [res[0][r]]
-            for i in range(1, P):
-                pi_p = primes[i]
-                p = U32(pi_p)
-                acc_g = None
-                for jj in range(i):
-                    term = _mulmod(t[jj], U32(g_w[i][jj]),
-                                   U32(shoup_int(g_w[i][jj], pi_p)), p)
-                    acc_g = term if acc_g is None else _addmod(acc_g, term, p)
-                diff = _submod(res[i][r], acc_g, p)
-                t.append(_mulmod(diff, U32(g_inv[i]),
-                                 U32(shoup_int(g_inv[i], pi_p)), p))
-            c_lo = jnp.zeros_like(t[0])
-            c_hi = jnp.zeros_like(t[0])
-            for i in range(P):
-                phi, plo = U32(prefix[i][0]), U32(prefix[i][1])
-                lo_t = t[i] * plo
-                hi_t = _mulhi32(t[i], plo) + t[i] * phi
-                c_lo = c_lo + lo_t
-                carry = (c_lo < lo_t).astype(U32)
-                c_hi = c_hi + hi_t + carry
-            ge = jnp.zeros(t[0].shape, dtype=jnp.bool_)
-            eq = jnp.ones(t[0].shape, dtype=jnp.bool_)
-            for i in range(P - 1, -1, -1):
-                h = U32(half_digits[i])
-                ge = ge | (eq & (t[i] > h))
-                eq = eq & (t[i] == h)
-            m_hi, m_lo = U32(m_mod[0]), U32(m_mod[1])
-            borrow = (c_lo < m_lo).astype(U32)
-            sub_lo = c_lo - m_lo
-            sub_hi = c_hi - m_hi - borrow
-            sel = ge | eq
-            d_lo = jnp.where(sel, sub_lo, c_lo)
-            d_hi = jnp.where(sel, sub_hi, c_hi)
+            else:
+                t = _garner_digits_horner([res[i][r] for i in range(P)],
+                                          primes, g_hinv)
+                d_hi, d_lo = _garner_combine_u64(t, prefix, half_digits, m_mod)
             if mode == "delta":
-                a_lo = out_lo_ref[:, r]
-                s_lo = a_lo + d_lo
+                s_lo = out_lo_ref[:, r] + d_lo
                 carry = (s_lo < d_lo).astype(U32)
                 out_lo_ref[:, r] = s_lo
                 out_hi_ref[:, r] = out_hi_ref[:, r] + d_hi + carry
@@ -1309,13 +1282,20 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
                        mono_sh, decomp: DecompParams, log_q: int = 64,
                        block_b: int = 8, interpret: bool = False,
                        grouping: int = 1, mode: str = "delta",
-                       ablate: frozenset = frozenset()):
-    """Full blind rotation as ONE pallas_call (grid = batch tiles x steps).
+                       ablate: frozenset = frozenset(),
+                       steps_per_cell: int | None = None):
+    """Full blind rotation as ONE pallas_call (grid = batch tiles x
+    step cells, each cell spanning `steps_per_cell` consecutive steps).
 
     mode="delta": bsk_u32 [n_in, P, J, R, N] (plain GGSW spectra, four-step
     order); mode="multibit": bsk_u32 [n/g, 2^g, P, J, R, N].  mono_tab/sh:
     the [2n, P, N1, N2] full-exponent tables ((X^e - 1) for delta, X^e for
-    multibit).  Returns the rotated accumulator [B, R, N] u64."""
+    multibit).  Returns the rotated accumulator [B, R, N] u64.
+
+    steps_per_cell defaults to env TFHE_TPU_STEPS_PER_CELL (else 1); any
+    value that does not divide the step count falls back to 1."""
+    import os
+
     from ..algorithms.bootstrap import modulus_switch
     from . import fourstep as fs
     from . import monomial_mul
@@ -1376,6 +1356,12 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
         tab, tab_sh = fs.monomial_full_tables(n, num_primes, mode == "delta")
         mono_tab, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
 
+    spc = steps_per_cell
+    if spc is None:
+        spc = int(os.environ.get("TFHE_TPU_STEPS_PER_CELL", "1"))
+    if spc < 1 or n_steps % spc != 0:
+        spc = 1
+
     plan = get_plan(n, num_primes)
     primes = [int(p) for p in plan.primes]
     assert all(p < (1 << 30) for p in primes)
@@ -1383,9 +1369,9 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     kernel = _make_rotation_kernel_mxu(n, num_primes, glwe_size, decomp,
                                        primes, log_q, grouping=grouping,
                                        mode=mode, bt=bt, interpret=interpret,
-                                       ablate=ablate)
+                                       ablate=ablate, spc=spc)
 
-    grid = (B // bt, n_steps)
+    grid = (B // bt, n_steps // spc)
     vm = pltpu.VMEM
     zero = np.int32(0)
 
@@ -1398,7 +1384,7 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
                             lambda i, j, _z=zero, _r=len(shape) - 1:
                             (i,) + (_z,) * _r, memory_space=vm)
 
-    bsk_spec = pl.BlockSpec((1,) + bsk_u32.shape[1:],
+    bsk_spec = pl.BlockSpec((spc,) + bsk_u32.shape[1:],
                             lambda i, j, _z=zero, _r=bsk_u32.ndim - 1:
                             (j,) + (_z,) * _r, memory_space=vm)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -1410,8 +1396,8 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     out_specs = (tiled(acc_hi.shape), tiled(acc_lo.shape))
     out_shape = (jax.ShapeDtypeStruct(acc_hi.shape, jnp.uint32),
                  jax.ShapeDtypeStruct(acc_lo.shape, jnp.uint32))
-    ph_shape = ((bt, num_primes, n1, n2) if mode == "delta" else
-                (bt, NV, num_primes, n1, n2))
+    ph_shape = ((spc, bt, num_primes, n1, n2) if mode == "delta" else
+                (spc, bt, NV, num_primes, n1, n2))
     scratch = [pltpu.VMEM(ph_shape, jnp.uint32),
                pltpu.VMEM(ph_shape, jnp.uint32),
                pltpu.SemaphoreType.DMA]
