@@ -1157,31 +1157,47 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                 digits[li][r] = d
 
         # ---- 2. forward four-step NTT ---------------------------------------
+        # All J transforms ride the LANE axis (lane block j = transform j)
+        # and all P primes stack along stage A's output rows, so the whole
+        # step's stage A is ONE int8 dot and every element-wise pass (limb
+        # extraction, recombination, twiddle) runs once on a J-wide array.
+        # Only aligned lane/sublane slices are used — no relayouts.
         d_hat = [[None] * J for _ in range(P)]
-        for li in range(L):
-            for r in range(R):
-                u = (digits[li][r] + I32(fs.DIGIT_OFF)).astype(U32)
-                if "fwd" in ablate:
-                    for pi in range(P):
-                        d_hat[pi][li * R + r] = u
-                    continue
-                data3 = _i8_limbs(u.reshape(rows, n2), 3, axis=0)
-                for pi in range(P):
-                    p = U32(primes[pi])
-                    s = _dot_i8(wfa_ref[pi], data3)
-                    s_m = [s[m * rows:(m + 1) * rows].reshape(bt, n1, n2)
-                           for m in range(4)]
-                    add_m = [ca_ref[pi, m] for m in range(4)]
-                    x1 = _recombine_mxu(s_m, add_m, da_ref[pi], rc[pi], p,
-                                        fold=False)
-                    x1 = _mulmod_lazy(x1, tf_ref[pi], tf_sh_ref[pi], p)
-                    data4 = _i8_limbs(x1.reshape(rows, n2), 4, axis=1)
-                    s2 = _dot_i8(data4, wfb_ref[pi])
-                    s2_m = [s2[:, m * n2:(m + 1) * n2] for m in range(4)]
-                    add2 = [cb_ref[pi, m] for m in range(4)]
-                    xh = _recombine_mxu(s2_m, add2, U32(d_right[pi]), rc[pi],
-                                        p, fold=False)
-                    d_hat[pi][li * R + r] = xh.reshape(bt, n1, n2)
+        us = [(digits[li][r] + I32(fs.DIGIT_OFF)).astype(U32)
+              for li in range(L) for r in range(R)]
+        if "fwd" in ablate:
+            for pi in range(P):
+                d_hat[pi] = list(us)
+        else:
+            u_all = jnp.concatenate(us, axis=2)           # [bt, n1, J*n2]
+            data3 = _i8_limbs(u_all.reshape(rows, J * n2), 3, axis=0)
+            wfa_flat = wfa_ref[...].reshape(P * 4 * rows, 3 * rows)
+            s_all = _dot_i8(wfa_flat, data3)              # [P*4*rows, J*n2]
+            for pi in range(P):
+                p = U32(primes[pi])
+                b0 = pi * 4 * rows
+                s_m = [s_all[b0 + m * rows:b0 + (m + 1) * rows
+                             ].reshape(bt, n1, J * n2) for m in range(4)]
+                add_m = [ca_ref[pi, m] for m in range(4)]
+                x1 = _recombine_mxu(s_m, add_m, da_ref[pi], rc[pi], p,
+                                    fold=False)
+                # tf_ref is the J-lane-tiled twiddle [P, n1, J*n2]
+                x1 = _mulmod_lazy(x1, tf_ref[pi], tf_sh_ref[pi], p)
+                x1f = x1.reshape(rows, J * n2)
+                l4 = _i8_limbs(x1f, 4, axis=1)            # [rows, 4*(J*n2)]
+                data4 = jnp.concatenate([                 # [J*rows, 4*n2]
+                    jnp.concatenate(
+                        [l4[:, (m * J + j) * n2:(m * J + j + 1) * n2]
+                         for m in range(4)], axis=1)
+                    for j in range(J)], axis=0)
+                s2 = _dot_i8(data4, wfb_ref[pi])          # [J*rows, 4*n2]
+                s2_m = [s2[:, m * n2:(m + 1) * n2] for m in range(4)]
+                add2 = [cb_ref[pi, m] for m in range(4)]
+                xh = _recombine_mxu(s2_m, add2, U32(d_right[pi]), rc[pi],
+                                    p, fold=False)        # [J*rows, n2]
+                for j in range(J):
+                    d_hat[pi][j] = xh[j * rows:(j + 1) * rows
+                                      ].reshape(bt, n1, n2)
 
         # ---- 3. this substep's phases have landed ---------------------------
         for c in step_copies:
@@ -1227,35 +1243,49 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                         spec[pi][r] = acc_s
 
         # ---- 5. inverse four-step NTT ----------------------------------------
+        # Stage A rides the ROW axis (row block r = GLWE component), stage B
+        # the LANE axis, so each stage is one dot per prime and the
+        # element-wise passes run once on R-wide arrays.
         res = [[None] * R for _ in range(P)]
         for pi in range(P):
             p = U32(primes[pi])
-            for r in range(R):
-                v2 = spec[pi][r]
-                if "inv" in ablate:
-                    x = _condsub2p(_condsub2p(v2, p + p), p)
+            if "inv" in ablate:
+                for r in range(R):
+                    x = _condsub2p(_condsub2p(spec[pi][r], p + p), p)
                     res[pi][r] = jnp.where(x >= p, x - p, x)
-                    continue
-                data4 = _i8_limbs(v2.reshape(rows, n2), 4, axis=1)
-                s = _dot_i8(data4, wia_ref[pi])
-                s_m = [s[:, m * n2:(m + 1) * n2] for m in range(4)]
-                add_m = [cia_ref[pi, m] for m in range(4)]
-                d = _recombine_mxu(s_m, add_m, U32(d_right[pi]), rc[pi], p,
-                                   fold=False)
-                d = _mulmod_lazy(d.reshape(bt, n1, n2), ti_ref[pi],
-                                 ti_sh_ref[pi], p)
-                data4b = _i8_limbs(d.reshape(rows, n2), 4, axis=0)
-                s2 = _dot_i8(wib_ref[pi], data4b)
-                s2_m = [s2[m * rows:(m + 1) * rows].reshape(bt, n1, n2)
-                        for m in range(4)]
-                add2 = [cib_ref[pi, m] for m in range(4)]
-                # fold=False output < 3p + 2^26: one condsub makes it a
-                # lazy (< 2p) residue, which the Horner Garner chain accepts
-                # for i >= 1; only prime 0's digit needs the exact reduction
-                x = _recombine_mxu(s2_m, add2, dib_ref[pi], rc[pi], p,
-                                   fold=False)
-                x = _condsub2p(x, p)
-                res[pi][r] = _reduce_lt_p(x, p, primes[0]) if pi == 0 else x
+                continue
+            v_all = jnp.concatenate(
+                [spec[pi][r].reshape(rows, n2) for r in range(R)], axis=0)
+            data4 = _i8_limbs(v_all, 4, axis=1)           # [R*rows, 4*n2]
+            s = _dot_i8(data4, wia_ref[pi])
+            s_m = [s[:, m * n2:(m + 1) * n2] for m in range(4)]
+            add_m = [cia_ref[pi, m] for m in range(4)]
+            d = _recombine_mxu(s_m, add_m, U32(d_right[pi]), rc[pi], p,
+                               fold=False)                # [R*rows, n2]
+            d = _mulmod_lazy(d.reshape(R * bt, n1, n2), ti_ref[pi],
+                             ti_sh_ref[pi], p)
+            # stage B: limbs along rows per component, components along lanes
+            l4 = [(((d >> U32(8 * k)) & U32(255)).astype(I32) - 128
+                   ).astype(jnp.int8) for k in range(4)]  # [R*bt, n1, n2] x4
+            data4b = jnp.concatenate([                    # [4*rows, R*n2]
+                jnp.concatenate(
+                    [l4[k][r * bt:(r + 1) * bt].reshape(rows, n2)
+                     for r in range(R)], axis=1)
+                for k in range(4)], axis=0)
+            s2 = _dot_i8(wib_ref[pi], data4b)             # [4*rows, R*n2]
+            s2_m = [s2[m * rows:(m + 1) * rows
+                       ].reshape(bt, n1, R * n2) for m in range(4)]
+            add2 = [cib_ref[pi, m] for m in range(4)]
+            # fold=False output < 3p + 2^26: one condsub makes it a
+            # lazy (< 2p) residue, which the Horner Garner chain accepts
+            # for i >= 1; only prime 0's digit needs the exact reduction
+            x = _recombine_mxu(s2_m, add2, dib_ref[pi], rc[pi], p,
+                               fold=False)                # [bt, n1, R*n2]
+            x = _condsub2p(x, p)
+            if pi == 0:
+                x = _reduce_lt_p(x, p, primes[0])
+            for r in range(R):
+                res[pi][r] = x[..., r * n2:(r + 1) * n2]
 
         # ---- 6. Garner -> delta; update the resident accumulator ------------
         for r in range(R):
@@ -1388,7 +1418,12 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
                             lambda i, j, _z=zero, _r=bsk_u32.ndim - 1:
                             (j,) + (_z,) * _r, memory_space=vm)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    tables = (kt.wfa, kt.ca, kt.da, kt.tf, kt.tf_sh, kt.wfb, kt.cb,
+    # the rotation kernel rides all J transforms on the lane axis: the
+    # middle twiddle is lane-tiled J-wide (transform-independent values)
+    J = decomp.level * glwe_size
+    tf_j = np.tile(np.asarray(kt.tf), (1, 1, J))
+    tf_sh_j = np.tile(np.asarray(kt.tf_sh), (1, 1, J))
+    tables = (kt.wfa, kt.ca, kt.da, tf_j, tf_sh_j, kt.wfb, kt.cb,
               kt.wia, kt.cia, kt.ti, kt.ti_sh, kt.wib, kt.cib, kt.dib)
     in_specs = ([idx_spec, tiled(acc_hi.shape), tiled(acc_lo.shape),
                  bsk_spec, bsk_spec, any_spec, any_spec]
