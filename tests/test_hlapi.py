@@ -113,3 +113,25 @@ def test_fheint_signed(hkeys):
     np.testing.assert_array_equal(x.lt(y).decrypt(ck), a < b)
     np.testing.assert_array_equal(x.ge(y).decrypt(ck), a >= b)
     np.testing.assert_array_equal(y.abs().decrypt(ck), np.abs(b))
+
+
+def test_wide_unsigned_roundtrip(hkeys):
+    """FheUint128/256 encrypt values beyond 2^64 exactly (Python-int block
+    decomposition — reference U256 bigint path)."""
+    ck, _ = hkeys
+    vals = [2 ** 100 + 12345, (1 << 256) - 1, 7]
+    x = hlapi.FheUint256.encrypt(vals, ck, seed=9)
+    got = x.decrypt(ck)
+    assert [int(v) for v in got] == [v % (1 << 256) for v in vals]
+    y = hlapi.FheUint128.encrypt([2 ** 127 + 99], ck, seed=10)
+    assert int(y.decrypt(ck)[0]) == 2 ** 127 + 99
+
+
+def test_wide_signed_roundtrip(hkeys):
+    """FheInt128/256 (reference HLAPI FheInt128/FheInt256)."""
+    ck, _ = hkeys
+    vals = [-(2 ** 100), 2 ** 90 + 1, -1]
+    x = hlapi.FheInt128.encrypt(vals, ck, seed=11)
+    assert [int(v) for v in x.decrypt(ck)] == vals
+    z = hlapi.FheInt256.encrypt([-(2 ** 200) - 5], ck, seed=12)
+    assert int(z.decrypt(ck)[0]) == -(2 ** 200) - 5

@@ -25,7 +25,8 @@ __all__ = ["ConfigBuilder", "Config", "ClientKey", "ServerKey", "PublicKey",
            "generate_keys", "set_server_key", "unset_server_key",
            "FheBool", "FheUint2", "FheUint4", "FheUint8", "FheUint16",
            "FheUint32", "FheUint64", "FheUint128", "FheUint256",
-           "FheInt8", "FheInt16", "FheInt32", "FheInt64"]
+           "FheInt8", "FheInt16", "FheInt32", "FheInt64",
+           "FheInt128", "FheInt256"]
 
 _SERVER_KEY: Optional[integer.ServerKey] = None
 
@@ -310,3 +311,5 @@ FheInt8 = _make_type("FheInt8", 8, signed=True)
 FheInt16 = _make_type("FheInt16", 16, signed=True)
 FheInt32 = _make_type("FheInt32", 32, signed=True)
 FheInt64 = _make_type("FheInt64", 64, signed=True)
+FheInt128 = _make_type("FheInt128", 128, signed=True)
+FheInt256 = _make_type("FheInt256", 256, signed=True)

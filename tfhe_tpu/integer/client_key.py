@@ -31,21 +31,31 @@ class RadixClientKey:
     def total_bits(self) -> int:
         return self.num_blocks * self.bits_per_block
 
+    def _block_values(self, values):
+        """Host-side little-endian base-m block decomposition.  Python-int
+        (object) arithmetic so >64-bit widths (FheUint128/256, reference
+        U256/U512 bigints) encrypt exactly (integer/block_decomposition.rs)."""
+        arr = np.asarray(values)
+        if arr.dtype != object:
+            arr = arr.astype(object)
+        m = int(self.message_modulus)
+        space = m ** self.num_blocks
+        arr = arr % space
+        out = []
+        for _ in range(self.num_blocks):
+            out.append(jnp.asarray((arr % m).astype(np.uint64)))
+            arr = arr // m
+        return out
+
     def encrypt(self, values, seed: int = 0) -> RadixCiphertext:
-        """values: uint array [...] → RadixCiphertext with [..., n+1] blocks."""
-        vals = jnp.asarray(values).astype(jnp.uint64)
-        m = jnp.uint64(self.message_modulus)
-        blocks = []
-        for i in range(self.num_blocks):
-            blocks.append(self.key.encrypt(vals % m, seed=seed * 1009 + i))
-            vals = vals // m
+        """values: uint array [...] (any width — Python ints for >64 bits)
+        → RadixCiphertext with [..., n+1] blocks."""
+        blocks = [self.key.encrypt(bv, seed=seed * 1009 + i)
+                  for i, bv in enumerate(self._block_values(values))]
         return RadixCiphertext(blocks=blocks)
 
     def encrypt_signed(self, values, seed: int = 0) -> SignedRadixCiphertext:
-        vals = jnp.asarray(values).astype(jnp.int64)
-        wrapped = vals.astype(jnp.uint64) % jnp.uint64(
-            self.message_modulus ** self.num_blocks)
-        ct = self.encrypt(wrapped, seed)
+        ct = self.encrypt(values, seed)   # _block_values wraps mod m^nb
         return SignedRadixCiphertext(blocks=ct.blocks)
 
     def decrypt(self, ct: RadixCiphertext):
@@ -68,12 +78,8 @@ class RadixClientKey:
         return signed.astype(np.int64) if space <= (1 << 64) else signed
 
     def trivial_encrypt(self, values) -> RadixCiphertext:
-        vals = jnp.asarray(values).astype(jnp.uint64)
-        m = jnp.uint64(self.message_modulus)
-        blocks = []
-        for _ in range(self.num_blocks):
-            blocks.append(self.key.trivial_encrypt(vals % m))
-            vals = vals // m
+        blocks = [self.key.trivial_encrypt(bv)
+                  for bv in self._block_values(values)]
         return RadixCiphertext(blocks=blocks)
 
 
