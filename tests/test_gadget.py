@@ -178,3 +178,46 @@ def test_gadget_deep_circuit(gkeys, rs):
         cur_clear = clear_fn(cur_clear, b)
         np.testing.assert_array_equal(gadget.decrypt(ck, cur_enc), cur_clear,
                                       err_msg=f"step {step}")
+
+
+def test_measure_noise(gkeys):
+    """Fresh encryptions measure small noise; a trivial-style zero-noise
+    phase measures exactly 0 (reference measure_noise semantics,
+    gadget/engine/mod.rs:194-232)."""
+    ck, _ = gkeys
+    enc = Encoding.new_canonical(5, [0, 1, 2, 3, 4], 11)
+    ct = gadget.encrypt_arithmetic(ck, jnp.arange(5), enc, seed=7)
+    noise = gadget.measure_noise(ck, ct)
+    assert noise.shape == (5,)
+    # noise unit is torus-units x p; fresh std sigma*q*p must bound it
+    std = max(ck.params.glwe_noise_std, ck.params.lwe_noise_std)
+    bound = 8 * std * (1 << 64) * enc.modulus_p
+    assert (np.abs(noise.astype(np.float64)) < bound).all()
+    assert (noise != 0).any()  # real encryption has noise
+    # trivial ct: only the delta = floor(2^64/p) truncation error remains
+    triv = gadget.engine.trivial_encrypt(ck.params, jnp.arange(5), enc)
+    tn = gadget.measure_noise(ck, triv)
+    assert (np.abs(tn) <= enc.modulus_p ** 2).all()
+
+
+def test_pattern_dump_roundtrip(gkeys, tmp_path, monkeypatch):
+    """PATTERN-gated dump hook (reference gadget/ciphertext/mod.rs:283-301):
+    writes only when PATTERN matches, records round-trip."""
+    ck, _ = gkeys
+    enc = Encoding.new_canonical_binary(1, 5)
+    ct = gadget.encrypt_arithmetic(ck, jnp.asarray([1]), enc, seed=8)
+    rec = gadget.SerializableCiphertext.from_ciphertext(ct, expected_msg=1)
+
+    monkeypatch.delenv("PATTERN", raising=False)
+    assert not rec.append_to_file("mypat", dump_dir=str(tmp_path))
+    monkeypatch.setenv("PATTERN", "otherpat")
+    assert not rec.append_to_file("mypat", dump_dir=str(tmp_path))
+    monkeypatch.setenv("PATTERN", "mypat")
+    assert rec.append_to_file("mypat", dump_dir=str(tmp_path))
+    assert rec.append_to_file("mypat", dump_dir=str(tmp_path))
+
+    recs = gadget.load_dumps(str(tmp_path / "mypat.pkl"))
+    assert len(recs) == 2
+    np.testing.assert_array_equal(recs[0]["values"],
+                                  np.asarray(ct.lwe.data, dtype=np.uint64))
+    assert recs[0]["expected_msg"] == 1 and recs[0]["modulus"] == 5

@@ -10,6 +10,8 @@ multiplication and the WoP-PBS-via-multiplication path.
 from .encoding import Encoding
 from .engine import (Ciphertext, ClientKey, Gadget, ServerKey, decrypt,
                      encrypt_arithmetic, gen_keys)
+from .instrument import SerializableCiphertext, load_dumps, measure_noise
 
 __all__ = ["Encoding", "Ciphertext", "ClientKey", "ServerKey", "Gadget",
-           "gen_keys", "encrypt_arithmetic", "decrypt"]
+           "gen_keys", "encrypt_arithmetic", "decrypt",
+           "measure_noise", "SerializableCiphertext", "load_dumps"]
