@@ -233,3 +233,33 @@ def test_pallas_multibit_matches_xla():
         block_b=8, interpret=True, mode="multibit", grouping=2)
     np.testing.assert_array_equal(np.asarray(rotated),
                                   np.asarray(rotated_fused))
+
+
+def test_batch_bucketing_math():
+    """Padded flat batch: tile multiples up to 4 tiles, then the
+    {2^k, 3*2^(k-1)} geometric buckets (compile-count cap for the
+    integer layer's varying stacked-block batches)."""
+    from tfhe_tpu import config
+    from tfhe_tpu.core.poly.pallas_ntt import _padded_flat_batch
+
+    assert _padded_flat_batch(1, 8) == 8
+    assert _padded_flat_batch(17, 8) == 24
+    assert _padded_flat_batch(32, 8) == 32
+    assert _padded_flat_batch(33, 8) == 48
+    assert _padded_flat_batch(49, 8) == 64
+    assert _padded_flat_batch(65, 8) == 96
+    assert _padded_flat_batch(512, 8) == 512
+    assert _padded_flat_batch(513, 8) == 768
+    assert _padded_flat_batch(1537, 8) == 2048
+    assert _padded_flat_batch(3, 3) == 3
+    # every bucket is a tile multiple and within 1.5x of the tiled request
+    for b in range(1, 4000, 7):
+        p = _padded_flat_batch(b, 8)
+        tiled = b + (-b) % 8
+        assert p % 8 == 0 and p >= b and p * 2 <= max(8 * 8, 3 * tiled)
+    config.set_bucket_pbs_batch(False)
+    try:
+        assert _padded_flat_batch(33, 8) == 40
+        assert _padded_flat_batch(513, 8) == 520
+    finally:
+        config.set_bucket_pbs_batch(True)

@@ -93,3 +93,28 @@ def use_fused_rotation() -> bool:
 def set_use_fused_rotation(flag: bool):
     global _FUSED_ROTATION
     _FUSED_ROTATION = bool(flag)
+
+
+_BATCH_BUCKETS: Optional[bool] = None
+
+
+def bucket_pbs_batch() -> bool:
+    """Whether Pallas blind-rotation wrappers round the flat batch up into a
+    small geometric bucket set ({2^k, 3*2^{k-1}} above 4 kernel tiles) so
+    distinct logical batch sizes share compiled kernels.  Each distinct
+    padded batch is a separate multi-minute TPU compile through the remote
+    tunnel, and integer-layer ops stack *varying* block counts onto the PBS
+    batch axis — without bucketing a single FheUint mul triggers a fresh
+    compile per carry-scan layer.  Padding overhead is bounded at 1.5x.
+    Override with set_bucket_pbs_batch or TFHE_TPU_BATCH_BUCKETS=0/1."""
+    global _BATCH_BUCKETS
+    if _BATCH_BUCKETS is None:
+        env = os.environ.get("TFHE_TPU_BATCH_BUCKETS")
+        _BATCH_BUCKETS = (env not in ("0", "false", "False")
+                          if env is not None else True)
+    return _BATCH_BUCKETS
+
+
+def set_bucket_pbs_batch(flag: bool):
+    global _BATCH_BUCKETS
+    _BATCH_BUCKETS = bool(flag)

@@ -39,6 +39,26 @@ from ..decomposition import signed_decompose  # noqa: F401 (XLA fallback parity)
 from ..params import DecompParams
 from .ntt import NttPlan, get_plan, shoup as shoup_int
 
+
+def _padded_flat_batch(flat_b: int, bt: int) -> int:
+    """Flat batch size after padding: a multiple of the kernel tile `bt`,
+    rounded up into the geometric bucket set {2^k, 3·2^{k-1}} once above
+    4 tiles (config.bucket_pbs_batch) so that distinct logical batch sizes
+    share compiled kernel grids.  Each distinct padded batch is a separate
+    multi-minute TPU compile through the remote tunnel, and the integer
+    layer stacks varying radix-block counts onto this axis (reference
+    rayon fan-outs, integer/server_key/radix_parallel/) — bucketing caps
+    the compile count at 2 per batch octave with ≤1.5x padding overhead."""
+    from ... import config as _config
+
+    flat_b, bt = max(flat_b, 1), max(bt, 1)
+    tiled = flat_b + ((-flat_b) % bt)
+    if not _config.bucket_pbs_batch() or tiled <= 4 * bt:
+        return tiled
+    k = 1 << (tiled - 1).bit_length()          # next power of two >= tiled
+    bucket = (3 * k) // 4 if tiled <= (3 * k) // 4 else k
+    return bucket + ((-bucket) % bt)
+
 U32 = jnp.uint32
 I32 = jnp.int32
 
@@ -1292,6 +1312,14 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
             if "garner" in ablate:
                 d_lo = res[0][r]
                 d_hi = res[P - 1][r]
+            elif "gcombine" in ablate:   # profile: digit chain only
+                t = _garner_digits_horner([res[i][r] for i in range(P)],
+                                          primes, g_hinv)
+                d_lo = t[0]
+                d_hi = t[P - 1]
+            elif "gdigits" in ablate:    # profile: combine only
+                t = [res[i][r] for i in range(P)]
+                d_hi, d_lo = _garner_combine_u64(t, prefix, half_digits, m_mod)
             else:
                 t = _garner_digits_horner([res[i][r] for i in range(P)],
                                           primes, g_hinv)
@@ -1343,7 +1371,7 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
 
     bt = min(block_b, max(int(np.prod(batch)), 1))
     flat_b = int(np.prod(batch)) if batch else 1
-    pad = (-flat_b) % max(bt, 1)
+    pad = _padded_flat_batch(flat_b, bt) - flat_b
     if pad:
         lwe_data = jnp.concatenate(
             [lwe_data.reshape(flat_b, -1),
@@ -1485,7 +1513,7 @@ def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
     # pad the batch to a multiple of the kernel tile
     bt = min(block_b, max(int(np.prod(batch)), 1))
     flat_b = int(np.prod(batch)) if batch else 1
-    pad = (-flat_b) % max(bt, 1)
+    pad = _padded_flat_batch(flat_b, bt) - flat_b
     if pad:
         lwe_data = jnp.concatenate(
             [lwe_data.reshape(flat_b, -1),
@@ -1579,7 +1607,7 @@ def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
 
     bt = min(block_b, max(int(np.prod(batch)), 1))
     flat_b = int(np.prod(batch)) if batch else 1
-    pad = (-flat_b) % max(bt, 1)
+    pad = _padded_flat_batch(flat_b, bt) - flat_b
     if pad:
         lwe_data = jnp.concatenate(
             [lwe_data.reshape(flat_b, -1),

@@ -41,6 +41,8 @@ VARIANTS = [
     ("no_phase", frozenset({"phase"})),
     ("no_fwd", frozenset({"fwd"})),
     ("no_inv", frozenset({"inv"})),
+    ("no_gcombine", frozenset({"gcombine"})),
+    ("no_gdigits", frozenset({"gdigits"})),
     ("floor", frozenset({"decomp", "fwd", "phase", "mac", "inv", "garner"})),
 ]
 
