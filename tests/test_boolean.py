@@ -89,3 +89,19 @@ def test_boolean_key_switching(bkeys):
     np.testing.assert_array_equal(np.asarray(B.decrypt(ck2, cast)), np.asarray(A))
     out = B.and_(sk2, cast, B.encrypt(ck2, Bv, seed=174))
     np.testing.assert_array_equal(np.asarray(B.decrypt(ck2, out)), np.asarray(A & Bv))
+
+
+def test_u32_torus_gates():
+    """The reference-width (u32) path: named boolean sets default to the
+    64-bit torus for the fused kernel, but log_q=32 must keep working
+    (reference boolean/mod.rs fixes u32)."""
+    from tfhe_tpu.core.params import TEST_PARAMS_BOOLEAN_U32
+
+    ck, sk = B.gen_keys(TEST_PARAMS_BOOLEAN_U32, seed=21)
+    a = B.encrypt(ck, A, seed=5)
+    b = B.encrypt(ck, Bv, seed=6)
+    assert a.lwe.data.dtype == jnp.uint32
+    got = np.asarray(B.decrypt(ck, B.xor_(sk, a, b)))
+    assert np.array_equal(got, np.asarray(A) ^ np.asarray(Bv))
+    got = np.asarray(B.decrypt(ck, B.nand(sk, a, b)))
+    assert np.array_equal(got, ~(np.asarray(A) & np.asarray(Bv)))

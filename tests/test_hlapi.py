@@ -50,6 +50,10 @@ def test_fheuint8_bitwise_shift(hkeys):
     np.testing.assert_array_equal((~x).decrypt(ck), 255 - A)
     np.testing.assert_array_equal((x << 2).decrypt(ck), (A << 2) % 256)
     np.testing.assert_array_equal((x >> 1).decrypt(ck), A >> 1)
+    np.testing.assert_array_equal(x.rotate_left(3).decrypt(ck),
+                                  ((A << 3) | (A >> 5)) % 256)
+    np.testing.assert_array_equal(x.rotate_right(3).decrypt(ck),
+                                  ((A >> 3) | (A << 5)) % 256)
 
 
 def test_fheuint8_cmp_select(hkeys):

@@ -153,3 +153,26 @@ def test_add_parallelized_log_depth(ikeys):
     ca, cb = ck.encrypt(jnp.asarray(a), seed=40), ck.encrypt(jnp.asarray(b), seed=41)
     out = sk.add_parallelized(ca, cb)
     np.testing.assert_array_equal(ck.decrypt(out), (a + b) % MOD)
+
+
+def test_rotations(ikeys, cts):
+    """Bit rotations, scalar and encrypted amount (reference
+    radix_parallel rotate_left/right + scalar_rotate variants)."""
+    ck, sk = ikeys
+    ca, _ = cts
+
+    def rotl(x, r):
+        r %= 8
+        return ((x << r) | (x >> (8 - r))) % MOD
+
+    for r in [0, 1, 3, 6, 8, 11]:
+        np.testing.assert_array_equal(ck.decrypt(sk.scalar_rotate_left(ca, r)),
+                                      rotl(A, r), err_msg=f"rotl {r}")
+        np.testing.assert_array_equal(ck.decrypt(sk.scalar_rotate_right(ca, r)),
+                                      rotl(A, (8 - r) % 8), err_msg=f"rotr {r}")
+
+    amt = ck.encrypt(jnp.asarray([3] * len(A)), seed=11)
+    np.testing.assert_array_equal(ck.decrypt(sk.rotate_left(ca, amt)),
+                                  rotl(A, 3))
+    np.testing.assert_array_equal(ck.decrypt(sk.rotate_right(ca, amt)),
+                                  rotl(A, 5))

@@ -2,6 +2,7 @@
 generator tests + the dieharder-style determinism checks)."""
 import collections
 
+import numpy as np
 import pytest
 
 native = pytest.importorskip("tfhe_tpu.native")
@@ -53,3 +54,42 @@ def test_rough_uniformity():
     # every byte value appears, within loose bounds of the mean (256)
     assert len(counts) == 256
     assert all(120 < c < 420 for c in counts.values())
+
+
+def test_nist_style_randomness_battery():
+    """Small NIST SP 800-22-style battery on the AES-CTR stream (the
+    reference runs dieharder in CI, scripts/dieharder_test.sh): monobit,
+    block frequency, runs, and longest-run-of-ones — all on 1 Mbit.
+    Thresholds are ~5-sigma so the test is deterministic-stable for a
+    correct generator and fails loudly for a broken one."""
+    import math
+
+    gen = native.AesCtrGenerator(seed=b"\x07" * 16)
+    data = gen.generate(1 << 17)                       # 1 Mbit
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    n = bits.size
+
+    # monobit: S/sqrt(n) ~ N(0,1)
+    s = abs(int(bits.sum()) * 2 - n) / math.sqrt(n)
+    assert s < 5.0, f"monobit z={s}"
+
+    # block frequency (m=128): chi2 with n/m dof, mean dof, std sqrt(2 dof)
+    m = 128
+    blocks = bits[: n // m * m].reshape(-1, m).sum(axis=1) / m
+    chi2 = 4 * m * float(((blocks - 0.5) ** 2).sum())
+    dof = n // m
+    assert abs(chi2 - dof) < 5 * math.sqrt(2 * dof), f"blockfreq chi2={chi2}"
+
+    # runs: count of bit flips ~ N(2n pi (1-pi), ...) with pi ~ 0.5
+    pi = bits.mean()
+    v = int((bits[1:] != bits[:-1]).sum()) + 1
+    z = abs(v - 2 * n * pi * (1 - pi)) / (2 * math.sqrt(2 * n) * pi * (1 - pi))
+    assert z < 5.0, f"runs z={z}"
+
+    # longest run of ones in the whole stream: for n=2^20 expect ~log2(n)=20
+    # +/- a few; > 45 is astronomically unlikely, < 12 likewise
+    changes = np.flatnonzero(np.diff(bits))
+    lengths = np.diff(np.concatenate([[-1], changes, [n - 1]]))
+    ones_runs = lengths[(0 if bits[0] else 1)::2]
+    longest = int(ones_runs.max())
+    assert 12 <= longest <= 45, f"longest ones-run {longest}"

@@ -263,3 +263,40 @@ def test_batch_bucketing_math():
         assert _padded_flat_batch(513, 8) == 520
     finally:
         config.set_bucket_pbs_batch(True)
+
+
+def test_pallas_batched_luts(pkeys):
+    """Per-batch-element LUTs (the integer layer's many-LUT stacking:
+    distinct LUTs ride the PBS batch axis) through the fused kernel —
+    matches the XLA path element-wise."""
+    from tfhe_tpu.core.algorithms.bootstrap import blind_rotate
+    from tfhe_tpu.core.poly.pallas_ntt import blind_rotate_fused
+
+    f0 = lambda x: (3 * x + 1) % 16
+    f1 = lambda x: (x * x) % 16
+    acc0, acc1 = _lut(f0), _lut(f1)
+    # batch of 6, alternating LUTs; batch 6 also exercises tile padding
+    luts = jnp.stack([acc0.data, acc1.data] * 3)            # [6, k+1, N]
+    msgs = jnp.asarray([0, 1, 5, 9, 12, 15], dtype=jnp.uint64) * DELTA
+    ct = encrypt_lwe(pkeys["enc_key"], pkeys["lwe_sk"], msgs, P.lwe_noise_std, 64)
+    bsk = pkeys["bsk"]
+
+    rot = blind_rotate_fused(luts, ct.data, bsk.paired, bsk.paired_shoup,
+                             None, None, P.pbs_decomp, block_b=8,
+                             interpret=True, mode="delta")
+    dec_p = _dec16(rot, pkeys)
+
+    ref = blind_rotate(GlweCiphertext(data=luts),
+                       LweCiphertext(data=ct.data), bsk, 64)
+    dec_x = _dec16(ref.data, pkeys)
+
+    expect = [f1(m) if i % 2 else f0(m)
+              for i, m in enumerate([0, 1, 5, 9, 12, 15])]
+    np.testing.assert_array_equal(dec_p, expect)
+    np.testing.assert_array_equal(dec_x, expect)
+
+
+def _dec16(rotated, pkeys):
+    out = sample_extract(GlweCiphertext(data=jnp.asarray(rotated)), 0)
+    return np.asarray((decrypt_lwe(out, pkeys["big_sk"], 64)
+                       + (DELTA >> np.uint64(1))) // DELTA) % 16

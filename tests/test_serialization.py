@@ -213,6 +213,22 @@ def test_compressed_server_key():
     np.testing.assert_array_equal(np.asarray(ck.decrypt(out)),
                                   (np.arange(4) + 1) % 4)
 
+    # wire round trip: the compressed key itself serializes (that is its
+    # purpose — reference CompressedServerKey is a serde artifact) and is
+    # much smaller than the expanded server key
+    buf = io.BytesIO()
+    save(csk, buf)
+    compressed_bytes = buf.getbuffer().nbytes
+    buf.seek(0)
+    csk2 = load(buf)
+    sk3 = csk2.decompress()
+    out3 = sk3.apply_lookup_table(ct, lut)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(out3)),
+                                  (np.arange(4) + 1) % 4)
+    buf2 = io.BytesIO()
+    save(sk2, buf2)
+    assert compressed_bytes * 5 < buf2.getbuffer().nbytes
+
 
 def test_boolean_public_key():
     from tfhe_tpu import boolean as B

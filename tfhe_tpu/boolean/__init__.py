@@ -1,9 +1,17 @@
-"""Encrypted Boolean gates over the 32-bit torus.
+"""Encrypted Boolean gates.
 
 Re-design of the reference `boolean` scheme (tfhe/src/boolean/): encoding
 true = 1/8, false = -1/8 (boolean/mod.rs:76-80); a binary gate is a linear
 combination followed by one sign-LUT PBS and a keyswitch
 (boolean/engine/mod.rs:608-830, engine/bootstrapping.rs:257).
+
+The torus width follows `params.log_q`.  The reference fixes u32
+(boolean/mod.rs); here the named sets default to the 64-bit torus so gates
+ride the fused Pallas blind-rotation kernel (which is 64-bit only — the
+u32 accumulator travels as (hi, lo) planes).  The encoding is scale-free
+(true/false are ±q/8 and noise is specified relative to q), so security
+and correctness are unchanged; TEST_PARAMS_BOOLEAN keeps log_q=32 to
+exercise the reference-width path on the XLA backend.
 
 TPU-native differences: keys are pytrees, ciphertexts carry an arbitrary
 batch shape, and every gate maps over the whole batch in one jitted program
@@ -28,13 +36,21 @@ from ..core.algorithms import (bootstrap_key_to_ntt, decrypt_lwe, encrypt_lwe,
                                trivial_glwe, trivial_lwe)
 from ..core.entities import (GlweCiphertext, LweCiphertext, LweKeyswitchKey,
                              LweSecretKey, NttLweBootstrapKey)
+from ..core.numeric import to_signed, torus_dtype
 from ..core.params import BooleanParameters, EncryptionKeyChoice, PBSOrder
 from ..core.params import boolean_params as get_boolean_params
 
-LOG_Q = 32
 PLAINTEXT_LOG_SCALING_FACTOR = 3
-PLAINTEXT_TRUE = np.uint32(1 << (32 - PLAINTEXT_LOG_SCALING_FACTOR))    # +1/8
-PLAINTEXT_FALSE = np.uint32(7 << (32 - PLAINTEXT_LOG_SCALING_FACTOR))   # -1/8
+
+
+def plaintext_true(params: BooleanParameters):
+    """+1/8 of the torus (reference PLAINTEXT_TRUE, boolean/mod.rs:76)."""
+    return torus_dtype(params.log_q)(1 << (params.log_q - 3))
+
+
+def plaintext_false(params: BooleanParameters):
+    """-1/8 of the torus."""
+    return torus_dtype(params.log_q)(7 << (params.log_q - 3))
 
 
 @struct.dataclass
@@ -64,7 +80,7 @@ class ServerKey:
 
 @struct.dataclass
 class BoolCiphertext:
-    """Batch of encrypted booleans; data [..., n+1] uint32."""
+    """Batch of encrypted booleans; data [..., n+1] torus words."""
 
     lwe: LweCiphertext
 
@@ -90,13 +106,15 @@ def gen_keys(params: BooleanParameters | str = "DEFAULT_PARAMETERS", seed: int =
 def gen_server_key(ck: ClientKey, k_bsk, k_ksk) -> ServerKey:
     params = ck.params
     bsk_std = generate_bootstrap_key(k_bsk, ck.lwe_sk, ck.glwe_sk,
-                                     params.pbs_decomp, params.glwe_noise_std, LOG_Q)
+                                     params.pbs_decomp, params.glwe_noise_std,
+                                     params.log_q)
     num_primes = external_product_num_primes(
-        params.polynomial_size, params.glwe_size, params.pbs_decomp, LOG_Q)
-    bsk = bootstrap_key_to_ntt(bsk_std, LOG_Q, num_primes)
+        params.polynomial_size, params.glwe_size, params.pbs_decomp,
+        params.log_q)
+    bsk = bootstrap_key_to_ntt(bsk_std, params.log_q, num_primes)
     ksk = generate_keyswitch_key(
         k_ksk, ck.glwe_sk.as_lwe_secret_key(), ck.lwe_sk,
-        params.ks_decomp, params.lwe_noise_std, LOG_Q)
+        params.ks_decomp, params.lwe_noise_std, params.log_q)
     return ServerKey(bsk=bsk, ksk=ksk, params=params)
 
 
@@ -108,10 +126,10 @@ def gen_server_key(ck: ClientKey, k_bsk, k_ksk) -> ServerKey:
 def encrypt(ck: ClientKey, messages, seed: int = 0) -> BoolCiphertext:
     """messages: bool array [...] → BoolCiphertext batch."""
     msgs = jnp.asarray(messages, dtype=bool)
-    pts = jnp.where(msgs, PLAINTEXT_TRUE, PLAINTEXT_FALSE)
+    pts = jnp.where(msgs, plaintext_true(ck.params), plaintext_false(ck.params))
     key = rng.fork(rng.key_from_seed(seed), 1)
     ct = encrypt_lwe(key, ck.encryption_key, pts,
-                     _fresh_noise_std(ck.params), LOG_Q)
+                     _fresh_noise_std(ck.params), ck.params.log_q)
     return BoolCiphertext(lwe=ct)
 
 
@@ -123,17 +141,17 @@ def _fresh_noise_std(params: BooleanParameters) -> float:
 
 def trivial_encrypt(params: BooleanParameters, messages) -> BoolCiphertext:
     msgs = jnp.asarray(messages, dtype=bool)
-    pts = jnp.where(msgs, PLAINTEXT_TRUE, PLAINTEXT_FALSE)
+    pts = jnp.where(msgs, plaintext_true(params), plaintext_false(params))
     n = (params.lwe_dimension
          if params.encryption_key_choice == EncryptionKeyChoice.SMALL
          else params.big_lwe_dimension)
-    return BoolCiphertext(lwe=trivial_lwe(pts, n, LOG_Q))
+    return BoolCiphertext(lwe=trivial_lwe(pts, n, params.log_q))
 
 
 def decrypt(ck: ClientKey, ct: BoolCiphertext):
     """→ bool array [...]: true iff the phase lies in the positive half."""
-    phase = decrypt_lwe(ct.lwe, ck.encryption_key, LOG_Q)
-    return phase.astype(jnp.int32) > 0
+    phase = decrypt_lwe(ct.lwe, ck.encryption_key, ck.params.log_q)
+    return to_signed(phase, ck.params.log_q) > 0
 
 
 # ---------------------------------------------------------------------------
@@ -144,19 +162,21 @@ def decrypt(ck: ClientKey, ct: BoolCiphertext):
 def _sign_accumulator(params: BooleanParameters) -> GlweCiphertext:
     """Trivial GLWE accumulator with all body coefficients = 1/8
     (reference engine/bootstrapping.rs:59-60)."""
-    body = jnp.full((params.polynomial_size,), PLAINTEXT_TRUE, dtype=jnp.uint32)
-    return trivial_glwe(body, params.glwe_dimension, LOG_Q)
+    body = jnp.full((params.polynomial_size,), plaintext_true(params),
+                    dtype=torus_dtype(params.log_q))
+    return trivial_glwe(body, params.glwe_dimension, params.log_q)
 
 
 def _apply_bootstrapping_pattern(sk: ServerKey, lwe: LweCiphertext) -> LweCiphertext:
     """KS→PBS or PBS→KS per parameter choice
     (reference apply_bootstrapping_pattern, engine/bootstrapping.rs:392)."""
     acc = _sign_accumulator(sk.params)
+    log_q = sk.params.log_q
     if sk.params.pbs_order == PBSOrder.KEYSWITCH_BOOTSTRAP:
-        small = keyswitch_lwe(lwe, sk.ksk, LOG_Q)
-        return programmable_bootstrap(small, acc, sk.bsk, LOG_Q)
-    big = programmable_bootstrap(lwe, acc, sk.bsk, LOG_Q)
-    return keyswitch_lwe(big, sk.ksk, LOG_Q)
+        small = keyswitch_lwe(lwe, sk.ksk, log_q)
+        return programmable_bootstrap(small, acc, sk.bsk, log_q)
+    big = programmable_bootstrap(lwe, acc, sk.bsk, log_q)
+    return keyswitch_lwe(big, sk.ksk, log_q)
 
 
 def _gate(sk: ServerKey, combo: LweCiphertext) -> BoolCiphertext:
@@ -170,39 +190,39 @@ def _gate(sk: ServerKey, combo: LweCiphertext) -> BoolCiphertext:
 
 def and_(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
     data = a.lwe.data + b.lwe.data
-    data = data.at[..., -1].add(PLAINTEXT_FALSE)          # - 1/8
+    data = data.at[..., -1].add(plaintext_false(sk.params))   # - 1/8
     return _gate(sk, LweCiphertext(data=data))
 
 
 def nand(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
     data = -(a.lwe.data + b.lwe.data)
-    data = data.at[..., -1].add(PLAINTEXT_TRUE)           # + 1/8
+    data = data.at[..., -1].add(plaintext_true(sk.params))    # + 1/8
     return _gate(sk, LweCiphertext(data=data))
 
 
 def or_(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
     data = a.lwe.data + b.lwe.data
-    data = data.at[..., -1].add(PLAINTEXT_TRUE)           # + 1/8
+    data = data.at[..., -1].add(plaintext_true(sk.params))    # + 1/8
     return _gate(sk, LweCiphertext(data=data))
 
 
 def nor(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
     data = -(a.lwe.data + b.lwe.data)
-    data = data.at[..., -1].add(PLAINTEXT_FALSE)          # - 1/8
+    data = data.at[..., -1].add(plaintext_false(sk.params))   # - 1/8
     return _gate(sk, LweCiphertext(data=data))
 
 
 def xor_(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
     data = a.lwe.data + b.lwe.data
-    data = data.at[..., -1].add(PLAINTEXT_TRUE)
-    data = data * jnp.uint32(2)                           # 2*(a + b + 1/8)
+    data = data.at[..., -1].add(plaintext_true(sk.params))
+    data = data * torus_dtype(sk.params.log_q)(2)         # 2*(a + b + 1/8)
     return _gate(sk, LweCiphertext(data=data))
 
 
 def xnor(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
     data = a.lwe.data + b.lwe.data
-    data = data.at[..., -1].add(PLAINTEXT_TRUE)
-    data = -data * jnp.uint32(2)                          # 2*(-(a + b) - 1/8)
+    data = data.at[..., -1].add(plaintext_true(sk.params))
+    data = -data * torus_dtype(sk.params.log_q)(2)        # 2*(-(a + b) - 1/8)
     return _gate(sk, LweCiphertext(data=data))
 
 
@@ -215,25 +235,26 @@ def mux(sk: ServerKey, cond: BoolCiphertext, then_ct: BoolCiphertext,
         else_ct: BoolCiphertext) -> BoolCiphertext:
     """(cond AND then) + (NOT cond AND else): two PBS + linear recombination
     (reference engine/mod.rs:461-570)."""
+    log_q = sk.params.log_q
     c1 = cond.lwe.data + then_ct.lwe.data
-    c1 = c1.at[..., -1].add(PLAINTEXT_FALSE)
+    c1 = c1.at[..., -1].add(plaintext_false(sk.params))
     c2 = -cond.lwe.data + else_ct.lwe.data
-    c2 = c2.at[..., -1].add(PLAINTEXT_FALSE)
+    c2 = c2.at[..., -1].add(plaintext_false(sk.params))
 
     acc = _sign_accumulator(sk.params)
     if sk.params.pbs_order == PBSOrder.KEYSWITCH_BOOTSTRAP:
-        p1 = programmable_bootstrap(keyswitch_lwe(LweCiphertext(c1), sk.ksk, LOG_Q),
-                                    acc, sk.bsk, LOG_Q)
-        p2 = programmable_bootstrap(keyswitch_lwe(LweCiphertext(c2), sk.ksk, LOG_Q),
-                                    acc, sk.bsk, LOG_Q)
+        p1 = programmable_bootstrap(keyswitch_lwe(LweCiphertext(c1), sk.ksk, log_q),
+                                    acc, sk.bsk, log_q)
+        p2 = programmable_bootstrap(keyswitch_lwe(LweCiphertext(c2), sk.ksk, log_q),
+                                    acc, sk.bsk, log_q)
         out = p1.data + p2.data
-        out = out.at[..., -1].add(PLAINTEXT_TRUE)
+        out = out.at[..., -1].add(plaintext_true(sk.params))
         return BoolCiphertext(lwe=LweCiphertext(data=out))
-    p1 = programmable_bootstrap(LweCiphertext(c1), acc, sk.bsk, LOG_Q)
-    p2 = programmable_bootstrap(LweCiphertext(c2), acc, sk.bsk, LOG_Q)
+    p1 = programmable_bootstrap(LweCiphertext(c1), acc, sk.bsk, log_q)
+    p2 = programmable_bootstrap(LweCiphertext(c2), acc, sk.bsk, log_q)
     out = p1.data + p2.data
-    out = out.at[..., -1].add(PLAINTEXT_TRUE)
-    return BoolCiphertext(lwe=keyswitch_lwe(LweCiphertext(data=out), sk.ksk, LOG_Q))
+    out = out.at[..., -1].add(plaintext_true(sk.params))
+    return BoolCiphertext(lwe=keyswitch_lwe(LweCiphertext(data=out), sk.ksk, log_q))
 
 
 # ---------------------------------------------------------------------------
@@ -255,14 +276,14 @@ def gen_public_key(ck: ClientKey, zero_count: int = None, seed: int = 0) -> Publ
     zero_count = zero_count or (2 * n)
     key = rng.fork(rng.key_from_seed(seed), 0xB0B)
     pk = generate_lwe_public_key(key, ck.encryption_key, zero_count,
-                                 _fresh_noise_std(ck.params), LOG_Q)
+                                 _fresh_noise_std(ck.params), ck.params.log_q)
     return PublicKey(pk=pk, params=ck.params)
 
 
 def encrypt_with_public_key(pk: PublicKey, messages, seed: int = 0) -> BoolCiphertext:
     from ..core.algorithms.public_key import encrypt_lwe_with_public_key
     msgs = jnp.asarray(messages, dtype=bool)
-    pts = jnp.where(msgs, PLAINTEXT_TRUE, PLAINTEXT_FALSE)
+    pts = jnp.where(msgs, plaintext_true(pk.params), plaintext_false(pk.params))
     key = rng.fork(rng.key_from_seed(seed), 0xB0C)
     ct = encrypt_lwe_with_public_key(key, pk.pk, pts)
     return BoolCiphertext(lwe=ct)
@@ -279,7 +300,8 @@ class BooleanKeySwitchingKey:
     dest_params: BooleanParameters = struct.field(pytree_node=False)
 
     def cast(self, ct: BoolCiphertext) -> BoolCiphertext:
-        return BoolCiphertext(lwe=keyswitch_lwe(ct.lwe, self.ksk, LOG_Q))
+        return BoolCiphertext(
+            lwe=keyswitch_lwe(ct.lwe, self.ksk, self.dest_params.log_q))
 
 
 def gen_key_switching_key(ck1: ClientKey, ck2: ClientKey, ks_base_log: int = 2,
@@ -288,5 +310,5 @@ def gen_key_switching_key(ck1: ClientKey, ck2: ClientKey, ks_base_log: int = 2,
     key = rng.fork(rng.key_from_seed(seed), 0xB5C)
     ksk = generate_keyswitch_key(key, ck1.encryption_key, ck2.encryption_key,
                                  DecompParams(ks_base_log, ks_level),
-                                 _fresh_noise_std(ck2.params), LOG_Q)
+                                 _fresh_noise_std(ck2.params), ck2.params.log_q)
     return BooleanKeySwitchingKey(ksk=ksk, dest_params=ck2.params)

@@ -145,8 +145,7 @@ def programmable_bootstrap(lwe: LweCiphertext, lut: GlweCiphertext,
     Uses the fused Pallas step kernel when enabled (config.use_pallas_pbs)
     and the key carries its paired form; otherwise the XLA path."""
     from ... import config
-    if (config.use_pallas_pbs() and bsk.paired is not None
-            and lut.data.ndim == 2):
+    if config.use_pallas_pbs() and bsk.paired is not None:
         import os
         from ..poly.pallas_ntt import blind_rotate_fused, blind_rotate_pallas
         block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "8"))

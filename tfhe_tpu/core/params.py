@@ -166,10 +166,16 @@ class WopbsParameters(CommonPBSParams):
 
 @dataclass(frozen=True)
 class BooleanParameters(CommonPBSParams):
-    """Boolean-scheme parameters over the 32-bit torus
-    (reference boolean/parameters/mod.rs:123-136)."""
+    """Boolean-scheme parameters (reference boolean/parameters/mod.rs:123-136).
 
-    log_q: int = 32
+    The reference fixes the u32 torus; here the named sets default to the
+    64-bit torus so boolean gates ride the fused Pallas blind-rotation
+    kernel (64-bit only).  Noise is specified *relative* to q and the ±q/8
+    encoding is scale-free, so security and correctness are unchanged by
+    the width.  log_q=32 stays fully supported on the XLA path
+    (TEST_PARAMS_BOOLEAN_U32 pins it to cover the reference width)."""
+
+    log_q: int = 64
 
 
 @dataclass(frozen=True)
@@ -321,6 +327,11 @@ TEST_PARAMS_BOOLEAN = BooleanParameters(
     ks_level=4,
     encryption_key_choice=EncryptionKeyChoice.SMALL,
 )
+
+# the reference-width (u32 torus) twin — keeps the 32-bit LWE/PBS path
+# covered now that boolean named sets default to log_q=64
+TEST_PARAMS_BOOLEAN_U32 = dataclasses.replace(
+    TEST_PARAMS_BOOLEAN, name="TEST_PARAMS_BOOLEAN_U32", log_q=32)
 
 # ks decomp is deliberately fine (32 bits): the packing-keyswitch →
 # GLWE-tensor-product path (lwe_mult/WoP-PBS) amplifies phase-coefficient

@@ -40,6 +40,25 @@ from ..params import DecompParams
 from .ntt import NttPlan, get_plan, shoup as shoup_int
 
 
+def _lut_full(lut_data, batch, flat_b: int, pad: int):
+    """Accumulator rows for the whole (padded, flattened) batch.
+
+    lut_data is either a shared [R, N] LUT or per-element [..., R, N] LUTs
+    whose batch dims broadcast against the LWE batch (the integer layer
+    stacks DISTINCT per-block LUTs onto the PBS batch axis — reference
+    many-LUT PBS, e.g. full_propagate's (message, carry) pair and mul's
+    lsb/msb partials).  Returns [flat_b + pad, R, N]."""
+    if lut_data.ndim == 2:
+        return jnp.broadcast_to(lut_data,
+                                (flat_b + pad,) + lut_data.shape[-2:])
+    full = jnp.broadcast_to(lut_data, tuple(batch) + lut_data.shape[-2:])
+    full = full.reshape((flat_b,) + lut_data.shape[-2:])
+    if pad:
+        full = jnp.concatenate(
+            [full, jnp.zeros((pad,) + full.shape[1:], full.dtype)], axis=0)
+    return full
+
+
 def _padded_flat_batch(flat_b: int, bt: int) -> int:
     """Flat batch size after padding: a multiple of the kernel tile `bt`,
     rounded up into the geometric bucket set {2^k, 3·2^{k-1}} once above
@@ -1401,9 +1420,8 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
                                 lambda i, j, _z=np.int32(0): (i, _z),
                                 memory_space=pltpu.SMEM)
 
-    acc = monomial_mul(
-        jnp.broadcast_to(lut_data, b_sw.shape + lut_data.shape[-2:]),
-        (2 * n - b_sw)[..., None])
+    acc = monomial_mul(_lut_full(lut_data, batch, flat_b, pad),
+                       (2 * n - b_sw)[..., None])
     acc_hi = (acc >> jnp.uint64(32)).astype(jnp.uint32)
     acc_lo = acc.astype(jnp.uint32)
     acc_hi = acc_hi.reshape(acc_hi.shape[:-1] + (n1, n2))
@@ -1523,9 +1541,8 @@ def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
 
     switched = modulus_switch(lwe_data, log_q, n)
     a_sw, b_sw = switched[..., :-1], switched[..., -1]
-    acc = monomial_mul(
-        jnp.broadcast_to(lut_data, b_sw.shape + lut_data.shape[-2:]),
-        (2 * n - b_sw)[..., None])
+    acc = monomial_mul(_lut_full(lut_data, batch, flat_b, pad),
+                       (2 * n - b_sw)[..., None])
     acc_hi = (acc >> jnp.uint64(32)).astype(jnp.uint32)
     acc_lo = acc.astype(jnp.uint32)
     if mxu:
@@ -1617,9 +1634,8 @@ def multi_bit_blind_rotate_pallas(lut_data, lwe_data, mb_u32, mb_sh_u32,
 
     switched = modulus_switch(lwe_data, log_q, n)
     a_sw, b_sw = switched[..., :-1], switched[..., -1]
-    acc = monomial_mul(
-        jnp.broadcast_to(lut_data, b_sw.shape + lut_data.shape[-2:]),
-        (2 * n - b_sw)[..., None])
+    acc = monomial_mul(_lut_full(lut_data, batch, flat_b, pad),
+                       (2 * n - b_sw)[..., None])
     acc_hi = (acc >> jnp.uint64(32)).astype(jnp.uint32)
     acc_lo = acc.astype(jnp.uint32)
     if mxu:

@@ -183,6 +183,17 @@ class _FheUintBase:
             return self._wrap(_sk().right_shift(self.ct, shift.ct))
         return self._wrap(_sk().scalar_right_shift(self.ct, int(shift)))
 
+    def rotate_left(self, amount):
+        """Bit-rotation (reference FheUint::rotate_left)."""
+        if isinstance(amount, _FheUintBase):
+            return self._wrap(_sk().rotate_left(self.ct, amount.ct))
+        return self._wrap(_sk().scalar_rotate_left(self.ct, int(amount)))
+
+    def rotate_right(self, amount):
+        if isinstance(amount, _FheUintBase):
+            return self._wrap(_sk().rotate_right(self.ct, amount.ct))
+        return self._wrap(_sk().scalar_rotate_right(self.ct, int(amount)))
+
     def __floordiv__(self, other):
         return self._wrap(_sk().div(self.ct, other.ct))
 

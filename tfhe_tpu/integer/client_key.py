@@ -36,14 +36,16 @@ class RadixClientKey:
         (object) arithmetic so >64-bit widths (FheUint128/256, reference
         U256/U512 bigints) encrypt exactly (integer/block_decomposition.rs)."""
         arr = np.asarray(values)
-        if arr.dtype != object:
-            arr = arr.astype(object)
+        shape = arr.shape
+        # work on >=1-d object arrays: numpy ops on 0-d object arrays decay
+        # to Python scalars (which have no .astype)
+        arr = arr.reshape(-1).astype(object)
         m = int(self.message_modulus)
         space = m ** self.num_blocks
         arr = arr % space
         out = []
         for _ in range(self.num_blocks):
-            out.append(jnp.asarray((arr % m).astype(np.uint64)))
+            out.append(jnp.asarray((arr % m).astype(np.uint64)).reshape(shape))
             arr = arr // m
         return out
 

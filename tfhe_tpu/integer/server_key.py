@@ -789,6 +789,78 @@ class ServerKey:
     scalar_right_shift_parallelized = scalar_right_shift
 
     # ------------------------------------------------------------------
+    # bit rotations (reference radix_parallel rotate_left/right and the
+    # scalar_rotate variants, integer/server_key/radix_parallel/rotate.rs) —
+    # the shift machinery with wraparound blocks instead of zeros
+    # ------------------------------------------------------------------
+
+    def scalar_rotate_left(self, a: RadixCiphertext, r: int) -> RadixCiphertext:
+        a = self._maybe_propagate(a)
+        bits = int(math.log2(self.msg_mod))
+        nb = a.num_blocks
+        r %= nb * bits
+        if r == 0:
+            return a
+        blk, sub = divmod(r, bits)
+        a = type(a)(blocks=[a.blocks[(i - blk) % nb] for i in range(nb)])
+        if sub == 0:
+            return a
+        m = self.msg_mod
+        lut = self.key.generate_lookup_table(
+            lambda x: (((x % m) << sub) | ((x // m) >> (bits - sub))) % m)
+        pairs = [self.key.unchecked_bivariate_pack(a.blocks[(i - 1) % nb],
+                                                   a.blocks[i])
+                 for i in range(nb)]
+        return type(a)(blocks=self._apply_lut_same(pairs, lut))
+
+    scalar_rotate_left_parallelized = scalar_rotate_left
+
+    def scalar_rotate_right(self, a: RadixCiphertext, r: int) -> RadixCiphertext:
+        a = self._maybe_propagate(a)
+        bits = int(math.log2(self.msg_mod))
+        nb = a.num_blocks
+        r %= nb * bits
+        if r == 0:
+            return a
+        blk, sub = divmod(r, bits)
+        a = type(a)(blocks=[a.blocks[(i + blk) % nb] for i in range(nb)])
+        if sub == 0:
+            return a
+        m = self.msg_mod
+        lut = self.key.generate_lookup_table(
+            lambda x: (((x % m) >> sub) | (((x // m) << (bits - sub)) % m)))
+        pairs = [self.key.unchecked_bivariate_pack(a.blocks[(i + 1) % nb],
+                                                   a.blocks[i])
+                 for i in range(nb)]
+        return type(a)(blocks=self._apply_lut_same(pairs, lut))
+
+    scalar_rotate_right_parallelized = scalar_rotate_right
+
+    def _rotate_encrypted(self, a, amount, rot):
+        """Rotation by 2^i cmux-selected on bit i of `amount` — rotation is
+        taken mod 2^ceil(log2(total_bits)) (= mod total_bits whenever the
+        bit width is a power of two, as for every FheUint type)."""
+        total_bits = a.num_blocks * int(math.log2(self.msg_mod))
+        n_sel = max(1, int(math.ceil(math.log2(total_bits))))
+        bits = self._amount_bits(amount, n_sel)
+        out = self._maybe_propagate(a)
+        for i, bit in enumerate(bits):
+            if bit is None:
+                continue
+            rotated = rot(out, 1 << i)
+            out = self.cmux(BooleanBlock(block=bit), rotated, out)
+        return out
+
+    def rotate_left(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
+        return self._rotate_encrypted(a, amount, self.scalar_rotate_left)
+
+    def rotate_right(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
+        return self._rotate_encrypted(a, amount, self.scalar_rotate_right)
+
+    rotate_left_parallelized = rotate_left
+    rotate_right_parallelized = rotate_right
+
+    # ------------------------------------------------------------------
     # width casts (reference cast_to_unsigned / extend/trim)
     # ------------------------------------------------------------------
 

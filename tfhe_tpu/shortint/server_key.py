@@ -102,8 +102,7 @@ class ServerKey:
                                                  multi_bit_blind_rotate)
         from ..core.entities import GlweCiphertext
         if isinstance(self.bsk, NttMultiBitBootstrapKey):
-            if (config.use_pallas_pbs() and self.bsk.data_u32 is not None
-                    and acc.data.ndim == 2):
+            if config.use_pallas_pbs() and self.bsk.data_u32 is not None:
                 import os
                 from ..core.poly.pallas_ntt import (
                     blind_rotate_fused, multi_bit_blind_rotate_pallas)

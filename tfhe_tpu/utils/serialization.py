@@ -40,7 +40,10 @@ def _register_known_types():
         ServerKey as BooleanServerKey
     from ..shortint.ciphertext import Ciphertext as ShortintCiphertext
     from ..shortint.client_key import ClientKey as ShortintClientKey
-    from ..shortint.server_key import LookupTable, ServerKey as ShortintServerKey
+    from ..shortint.server_key import (CompressedServerKey
+                                       as ShortintCompressedServerKey,
+                                       LookupTable,
+                                       ServerKey as ShortintServerKey)
     from ..integer.ciphertext import (CrtCiphertext, RadixCiphertext,
                                       SignedRadixCiphertext)
     from ..gadget.engine import (Ciphertext as GadgetCiphertext,
@@ -59,6 +62,7 @@ def _register_known_types():
                 WopbsParameters, BooleanParameters, GadgetParameters,
                 BoolCiphertext, BooleanClientKey, BooleanServerKey,
                 ShortintCiphertext, ShortintClientKey, ShortintServerKey,
+                ShortintCompressedServerKey,
                 LookupTable, RadixCiphertext, SignedRadixCiphertext,
                 CrtCiphertext, GadgetCiphertext, GadgetClientKey,
                 GadgetServerKey]:
