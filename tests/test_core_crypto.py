@@ -119,6 +119,33 @@ def test_external_product(keys):
         np.testing.assert_array_equal(dec, expect)
 
 
+def test_gsw_external_product(keys):
+    """GSW ⊡ LWE external product selects m·pt (reference leaves
+    gsw_ciphertext.rs unimplemented; algorithms/gsw.py makes it real)."""
+    from tfhe_tpu.core.algorithms.gsw import (cmux_lwe, encrypt_constant_gsw,
+                                              gsw_external_product)
+    msgs = jnp.arange(8, dtype=jnp.uint64) * DELTA
+    ct = encrypt_lwe(keys["enc_keys"][11], keys["lwe_sk"], msgs,
+                     P.lwe_noise_std, LOG_Q)
+    # GSW rows need GLWE-grade noise: base-23 digits scale row noise by ~2^22
+    for bit in [0, 1]:
+        gsw = encrypt_constant_gsw(keys["enc_keys"][12 + bit], keys["lwe_sk"],
+                                   jnp.int32(bit), P.pbs_decomp,
+                                   P.glwe_noise_std, LOG_Q)
+        out = gsw_external_product(gsw, ct, LOG_Q)
+        dec = round_msg(decrypt_lwe(out, keys["lwe_sk"], LOG_Q))
+        np.testing.assert_array_equal(dec, (np.arange(8) * bit) % 32)
+    # cmux: bit=1 selects ct over the zero ciphertext
+    gsw1 = encrypt_constant_gsw(keys["enc_keys"][13], keys["lwe_sk"],
+                                jnp.int32(1), P.pbs_decomp,
+                                P.glwe_noise_std, LOG_Q)
+    zero = encrypt_lwe(keys["enc_keys"][14], keys["lwe_sk"],
+                       jnp.zeros(8, dtype=jnp.uint64), P.lwe_noise_std, LOG_Q)
+    sel = cmux_lwe(gsw1, zero, ct, LOG_Q)
+    np.testing.assert_array_equal(
+        round_msg(decrypt_lwe(sel, keys["lwe_sk"], LOG_Q)), np.arange(8))
+
+
 def test_pbs_lut(keys):
     """Full PBS evaluates an arbitrary LUT on every message (the shortint
     PARAM-style correctness gate, SURVEY.md §7.2 step 4)."""

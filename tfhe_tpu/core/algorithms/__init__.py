@@ -7,6 +7,7 @@ from .encryption import (bootstrap_key_to_ntt, decrypt_glwe, decrypt_lwe,
                          generate_keyswitch_key, generate_lwe_secret_key,
                          generate_packing_keyswitch_key, trivial_glwe,
                          trivial_lwe)
+from .gsw import cmux_lwe, encrypt_constant_gsw, gsw_external_product
 from .keyswitch import (keyswitch_lwe, packing_keyswitch_lwe_list_to_glwe,
                         packing_keyswitch_lwe_to_glwe)
 from .linear import (glwe_add, glwe_add_plaintext_poly, glwe_sub, lwe_add,

@@ -133,6 +133,26 @@ class GgswCiphertext:
 
 
 @struct.dataclass
+class GswCiphertext:
+    """data[..., l, n+1, n+1]: level-major; row r of level j is an LWE
+    encrypting -m * s_r * q/B^(j+1) (last row: +m * q/B^(j+1)) — the
+    PolynomialSize=1 specialization of GGSW.
+    Reference: entities/gsw_ciphertext.rs (container only there; encrypt and
+    the external product live in algorithms/gsw.py here)."""
+
+    data: Any
+    decomp: DecompParams = _static(default=None)
+
+    @property
+    def level_count(self) -> int:
+        return self.data.shape[-3]
+
+    @property
+    def lwe_size(self) -> int:
+        return self.data.shape[-2]
+
+
+@struct.dataclass
 class LweBootstrapKey:
     """data[n, l, k+1, k+1, N] — one GGSW (of the GLWE key) per bit of the
     input LWE key.  Reference: entities/lwe_bootstrap_key.rs."""
