@@ -105,3 +105,15 @@ def test_u32_torus_gates():
     assert np.array_equal(got, np.asarray(A) ^ np.asarray(Bv))
     got = np.asarray(B.decrypt(ck, B.nand(sk, a, b)))
     assert np.array_equal(got, ~(np.asarray(A) & np.asarray(Bv)))
+
+
+def test_encrypt_compressed(bkeys):
+    ck, sk = bkeys
+    from tfhe_tpu import boolean
+    msgs = jnp.asarray([True, False, True, True])
+    comp = boolean.encrypt_compressed(ck, msgs, seed=91)
+    ct = comp.decompress()
+    np.testing.assert_array_equal(boolean.decrypt(ck, ct),
+                                  np.asarray(msgs))
+    out = boolean.and_(sk, ct, boolean.encrypt(ck, msgs, seed=92))
+    np.testing.assert_array_equal(boolean.decrypt(ck, out), np.asarray(msgs))

@@ -221,3 +221,71 @@ def test_pattern_dump_roundtrip(gkeys, tmp_path, monkeypatch):
     np.testing.assert_array_equal(recs[0]["values"],
                                   np.asarray(ct.lwe.data, dtype=np.uint64))
     assert recs[0]["expected_msg"] == 1 and recs[0]["modulus"] == 5
+
+
+def test_linear_combination_and_mul_constant(gkeys):
+    ck, sk = gkeys
+    p = 7
+    enc = Encoding.new_canonical(p, list(range(p)), p)
+    xs = jnp.asarray([1, 2, 3])
+    ys = jnp.asarray([2, 0, 1])
+    cx = gadget.encrypt_arithmetic(ck, xs, enc, seed=71)
+    cy = gadget.encrypt_arithmetic(ck, ys, enc, seed=72)
+    out = ge.linear_combination([cx, cy], [2, 3], p)
+    np.testing.assert_array_equal(
+        gadget.decrypt(ck, out),
+        (2 * np.asarray(xs) + 3 * np.asarray(ys)) % p)
+    out2 = ge.simple_mul_constant(cx, 3, p)
+    np.testing.assert_array_equal(gadget.decrypt(ck, out2),
+                                  (3 * np.asarray(xs)) % p)
+
+
+def test_full_tree_bootstrapping(gkeys):
+    """f over Z_9 returned as two base-3 digits (reference
+    full_tree_bootstrapping)."""
+    ck, sk = gkeys
+    o = 3
+    enc = Encoding.new_canonical(o, [0, 1, 2], 7)
+    t = o * o
+    f = lambda x: (x * 2 + 1) % t
+    x0, x1 = jnp.asarray([0, 2, 1]), jnp.asarray([1, 2, 0])
+    c0 = gadget.encrypt_arithmetic(ck, x0, enc, seed=73)
+    c1 = gadget.encrypt_arithmetic(ck, x1, enc, seed=74)
+    hi, lo = ge.full_tree_bootstrapping(sk, [c1, c0], [enc, enc], t, f)
+    vals = [f(int(a) + o * int(b)) for a, b in zip(np.asarray(x0), np.asarray(x1))]
+    np.testing.assert_array_equal(gadget.decrypt(ck, lo), [v % o for v in vals])
+    np.testing.assert_array_equal(gadget.decrypt(ck, hi), [v // o for v in vals])
+
+
+def test_gadget_utilities(gkeys):
+    ck, sk = gkeys
+    assert Gadget.split_int_in_booleans(5, 4) == [1, 0, 1, 0]
+    assert Gadget.split_int_in_booleans(5, 4, big_endian=True) == [0, 1, 0, 1]
+    assert Gadget.vec_bool_to_int([1, 0, 1, 0]) == 5
+    assert Gadget.vec_bool_to_int([0, 1, 0, 1], big_endian=True) == 5
+    g = Gadget.new_canonical(lambda a, b: a & b, 2, [1, 2], 1, 5, 5)
+    assert g.exec_clear([1, 1]) == 1 and g.exec_clear([1, 0]) == 0
+    # cast_before_gadget_from_1 lifts {0,1}-encodings onto the gate inputs
+    enc1 = Encoding.new_canonical_binary(1, 5)
+    xs = jnp.asarray([1, 0])
+    cts = [gadget.encrypt_arithmetic(ck, xs, enc1, seed=75 + i)
+           for i in range(2)]
+    lifted = g.cast_before_gadget_from_1(cts)
+    assert lifted[0].encoding == g.enc_in[0]
+    assert lifted[1].encoding == g.enc_in[1]
+    out = g.exec(sk, lifted)
+    np.testing.assert_array_equal(gadget.decrypt(ck, out),
+                                  np.asarray(xs) & np.asarray(xs))
+
+
+def test_encoding_switching_lut_and_modulus_switching(gkeys):
+    ck, sk = gkeys
+    enc5 = Encoding.new_canonical_binary(1, 5)
+    enc7 = Encoding.new_canonical_binary(1, 7)
+    xs = jnp.asarray([0, 1, 1])
+    ct = gadget.encrypt_arithmetic(ck, xs, enc5, seed=77)
+    out = ge.encoding_switching_lut(sk, ct, enc7)
+    assert out.encoding.modulus_p == 7
+    np.testing.assert_array_equal(gadget.decrypt(ck, out), np.asarray(xs))
+    sw = Gadget.modulus_switching(sk, [ct], [5], 7)
+    np.testing.assert_array_equal(gadget.decrypt(ck, sw[0]), np.asarray(xs))

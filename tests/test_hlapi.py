@@ -139,3 +139,70 @@ def test_wide_signed_roundtrip(hkeys):
     assert [int(v) for v in x.decrypt(ck)] == vals
     z = hlapi.FheInt256.encrypt([-(2 ** 200) - 5], ck, seed=12)
     assert int(z.decrypt(ck)[0]) == -(2 ** 200) - 5
+
+
+def test_scalar_operator_completion(hkeys):
+    ck, _ = hkeys
+    x = hlapi.FheUint8.encrypt(jnp.asarray(A), ck, seed=51)
+    np.testing.assert_array_equal((10 - x).decrypt(ck), (10 - A) % 256)
+    np.testing.assert_array_equal((x & 0xA5).decrypt(ck), A & 0xA5)
+    np.testing.assert_array_equal((0x5A | x).decrypt(ck), A | 0x5A)
+    np.testing.assert_array_equal((x ^ 0xFF).decrypt(ck), A ^ 0xFF)
+    np.testing.assert_array_equal((x // 7).decrypt(ck), A // 7)
+    np.testing.assert_array_equal((x % 7).decrypt(ck), A % 7)
+    np.testing.assert_array_equal(x.ne(3).decrypt(ck), A != 3)
+    np.testing.assert_array_equal(x.min(100).decrypt(ck), np.minimum(A, 100))
+    np.testing.assert_array_equal(x.max(100).decrypt(ck), np.maximum(A, 100))
+
+
+def test_overflowing_methods(hkeys):
+    ck, _ = hkeys
+    x = hlapi.FheUint8.encrypt(jnp.asarray(A), ck, seed=52)
+    y = hlapi.FheUint8.encrypt(jnp.asarray(B), ck, seed=53)
+    s, ov = x.overflowing_add(y)
+    np.testing.assert_array_equal(s.decrypt(ck), (A + B) % 256)
+    np.testing.assert_array_equal(ov.decrypt(ck), A + B >= 256)
+    d, bw = x.overflowing_sub(y)
+    np.testing.assert_array_equal(d.decrypt(ck), (A - B) % 256)
+    np.testing.assert_array_equal(bw.decrypt(ck), A < B)
+
+
+def test_signed_scalar_ops(hkeys):
+    ck, _ = hkeys
+    sa = np.array([-8, -1, 0, 7])
+    x = hlapi.FheInt8.encrypt(jnp.asarray(sa), ck, seed=54)
+    np.testing.assert_array_equal((x >> 1).decrypt(ck), sa >> 1)
+    np.testing.assert_array_equal((x // 3).decrypt(ck),
+                                  np.trunc(sa / 3).astype(np.int64))
+    np.testing.assert_array_equal(x.lt(-2).decrypt(ck), sa < -2)
+    np.testing.assert_array_equal(x.ge(0).decrypt(ck), sa >= 0)
+    np.testing.assert_array_equal(x.min(0).decrypt(ck), np.minimum(sa, 0))
+
+
+def test_public_key_encryption(hkeys):
+    ck, _ = hkeys
+    pk = hlapi.PublicKey(ck, seed=61)
+    x = hlapi.FheUint8.encrypt_with_public_key(jnp.asarray(A), pk, seed=62)
+    np.testing.assert_array_equal(x.decrypt(ck), A)
+    y = x + 1
+    np.testing.assert_array_equal(y.decrypt(ck), (A + 1) % 256)
+
+
+def test_compressed_fheuint(hkeys):
+    ck, _ = hkeys
+    comp = hlapi.FheUint8.encrypt_compressed(jnp.asarray(A), ck, seed=63)
+    x = comp.decompress()
+    np.testing.assert_array_equal(x.decrypt(ck), A)
+    np.testing.assert_array_equal((x * 2).decrypt(ck), (A * 2) % 256)
+
+
+def test_compressed_server_key_hlapi(hkeys):
+    ck, sk = hkeys
+    csk = hlapi.CompressedServerKey(ck, seed=64)
+    sk2 = csk.decompress()
+    hlapi.set_server_key(sk2)
+    try:
+        x = hlapi.FheUint8.encrypt(jnp.asarray(B), ck, seed=65)
+        np.testing.assert_array_equal((x + x).decrypt(ck), (2 * B) % 256)
+    finally:
+        hlapi.set_server_key(sk)

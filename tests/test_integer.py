@@ -176,3 +176,68 @@ def test_rotations(ikeys, cts):
                                   rotl(A, 3))
     np.testing.assert_array_equal(ck.decrypt(sk.rotate_right(ca, amt)),
                                   rotl(A, 5))
+
+
+def test_scalar_bitwise_minmax_smallmul(ikeys, cts):
+    ck, sk = ikeys
+    ca, _ = cts
+    np.testing.assert_array_equal(ck.decrypt(sk.scalar_bitand(ca, 0xA5)), A & 0xA5)
+    np.testing.assert_array_equal(ck.decrypt(sk.scalar_bitor(ca, 0x5A)), A | 0x5A)
+    np.testing.assert_array_equal(ck.decrypt(sk.scalar_bitxor(ca, 0xFF)), A ^ 0xFF)
+    np.testing.assert_array_equal(ck.decrypt(sk.scalar_min(ca, 100)),
+                                  np.minimum(A, 100))
+    np.testing.assert_array_equal(ck.decrypt(sk.scalar_max(ca, 100)),
+                                  np.maximum(A, 100))
+    np.testing.assert_array_equal(ck.decrypt(sk.small_scalar_mul(ca, 3)),
+                                  (A * 3) % MOD)
+
+
+def test_block_mul(ikeys, cts):
+    ck, sk = ikeys
+    ca, _ = cts
+    blk = ck.key.encrypt(jnp.asarray([3] * len(A)), seed=31)
+    np.testing.assert_array_equal(ck.decrypt(sk.block_mul(ca, blk)),
+                                  (A * 3) % MOD)
+    np.testing.assert_array_equal(ck.decrypt(sk.block_mul(ca, blk, index=1)),
+                                  (A * 3 * 4) % MOD)
+
+
+def test_scalar_div_rem(ikeys, cts):
+    ck, sk = ikeys
+    ca, _ = cts
+    for d in (1, 2, 3, 7, 10, 255):
+        q, r = sk.scalar_div_rem(ca, d)
+        np.testing.assert_array_equal(ck.decrypt(q), A // d, err_msg=f"d={d}")
+        np.testing.assert_array_equal(ck.decrypt(r), A % d, err_msg=f"d={d}")
+
+
+def test_overflowing_scalar(ikeys, cts):
+    ck, sk = ikeys
+    ca, _ = cts
+    s, ov = sk.unsigned_overflowing_scalar_add(ca, 200)
+    np.testing.assert_array_equal(ck.decrypt(s), (A + 200) % MOD)
+    np.testing.assert_array_equal(ck.decrypt_bool(ov),
+                                  (A + 200 >= MOD))
+    d, borrow = sk.unsigned_overflowing_scalar_sub(ca, 100)
+    np.testing.assert_array_equal(ck.decrypt(d), (A - 100) % MOD)
+    np.testing.assert_array_equal(ck.decrypt_bool(borrow), (A < 100))
+
+
+def test_crt_extended(ikeys):
+    ck, sk = ikeys
+    from tfhe_tpu.integer.client_key import CrtClientKey
+    moduli = (2, 3, 5)
+    crt_ck = CrtClientKey(key=ck.key, moduli=moduli)
+    mod = 2 * 3 * 5
+    a_vals, b_vals = np.array([7, 29, 0]), np.array([5, 11, 17])
+    ca = crt_ck.encrypt(jnp.asarray(a_vals), seed=41)
+    cb = crt_ck.encrypt(jnp.asarray(b_vals), seed=42)
+    np.testing.assert_array_equal(crt_ck.decrypt(sk.crt_sub(ca, cb)),
+                                  (a_vals - b_vals) % mod)
+    np.testing.assert_array_equal(crt_ck.decrypt(sk.crt_scalar_mul(ca, 7)),
+                                  (a_vals * 7) % mod)
+    np.testing.assert_array_equal(crt_ck.decrypt(sk.crt_scalar_sub(ca, 4)),
+                                  (a_vals - 4) % mod)
+    np.testing.assert_array_equal(
+        crt_ck.decrypt(sk.pbs_crt_compliant_function(ca, lambda x: x * x + 1)),
+        (a_vals * a_vals + 1) % mod)

@@ -64,3 +64,50 @@ def test_encrypted_shift(skeys):
     np.testing.assert_array_equal(ck.decrypt(sk.left_shift(ca, cs)),
                                   (a << amt) % 16)
     np.testing.assert_array_equal(ck.decrypt(sk.right_shift(ca, cs)), a >> amt)
+
+
+def test_signed_overflowing_add_sub(skeys):
+    ck, sk = skeys
+    ca = ck.encrypt_signed(jnp.asarray(A), seed=7)
+    cb = ck.encrypt_signed(jnp.asarray(B), seed=8)
+    s, ov = sk.signed_overflowing_add(ca, cb)
+    wrapped = ((A + B + 8) % 16) - 8
+    np.testing.assert_array_equal(ck.decrypt_signed(s), wrapped)
+    np.testing.assert_array_equal(ck.decrypt_bool(ov),
+                                  (A + B < -8) | (A + B > 7))
+    d, ov2 = sk.signed_overflowing_sub(ca, cb)
+    wrapped_d = ((A - B + 8) % 16) - 8
+    np.testing.assert_array_equal(ck.decrypt_signed(d), wrapped_d)
+    np.testing.assert_array_equal(ck.decrypt_bool(ov2),
+                                  (A - B < -8) | (A - B > 7))
+
+
+def test_signed_scalar_div_rem(skeys):
+    ck, sk = skeys
+    ca = ck.encrypt_signed(jnp.asarray(A), seed=9)
+    for d in (1, 2, 3, -2):
+        q, r = sk.signed_scalar_div_rem(ca, d)
+        np.testing.assert_array_equal(ck.decrypt_signed(q),
+                                      np.trunc(A / d).astype(np.int64),
+                                      err_msg=f"d={d}")
+        np.testing.assert_array_equal(ck.decrypt_signed(r),
+                                      A - np.trunc(A / d).astype(np.int64) * d,
+                                      err_msg=f"d={d}")
+
+
+def test_arithmetic_right_shift(skeys):
+    ck, sk = skeys
+    ca = ck.encrypt_signed(jnp.asarray(A), seed=10)
+    for sh in (1, 2):
+        out = sk.scalar_right_shift_arithmetic(ca, sh)
+        np.testing.assert_array_equal(ck.decrypt_signed(out), A >> sh,
+                                      err_msg=f"sh={sh}")
+
+
+def test_signed_scalar_comparisons(skeys):
+    ck, sk = skeys
+    ca = ck.encrypt_signed(jnp.asarray(A), seed=11)
+    for fn, op in [(sk.scalar_lt_signed, np.less), (sk.scalar_le_signed, np.less_equal),
+                   (sk.scalar_gt_signed, np.greater), (sk.scalar_ge_signed, np.greater_equal)]:
+        got = ck.decrypt_bool(fn(ca, -2))
+        np.testing.assert_array_equal(got, op(A, -2))

@@ -134,3 +134,93 @@ def test_smart_ops_chain(skeys):
         total = total + a
     np.testing.assert_array_equal(np.asarray(ck.decrypt(sk.message_extract(acc))),
                                   total % M)
+
+
+def test_op_family_variants(skeys):
+    """unchecked/checked/smart twins agree with the clear model
+    (reference per-op files add.rs, mul.rs, bitwise_op.rs, comp_op.rs)."""
+    ck, sk = skeys
+    a, b, ca, cb = enc_pairs(ck)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(sk.checked_mul_lsb(ca, cb))),
+                                  (a * b) % M)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(sk.mul_msb(ca, cb))),
+                                  (a * b) // M)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(sk.unchecked_bitand(ca, cb))),
+                                  a & b)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(sk.checked_bitor(ca, cb))),
+                                  a | b)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(sk.smart_bitxor(ca, cb))),
+                                  a ^ b)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(sk.unchecked_greater(ca, cb))),
+                                  (a > b).astype(np.uint64))
+    np.testing.assert_array_equal(
+        np.asarray(ck.decrypt(sk.checked_less_or_equal(ca, cb))),
+        (a <= b).astype(np.uint64))
+    # checked ops raise on carry overflow
+    big = sk.unchecked_add(sk.unchecked_add(ca, ca), sk.unchecked_add(ca, ca))
+    with pytest.raises(ValueError):
+        sk.checked_add(big, big)
+    with pytest.raises(ValueError):
+        sk.checked_mul_lsb(big, cb)
+
+
+def test_mul_small_carry(skeys):
+    ck, sk = skeys
+    a, b, ca, cb = enc_pairs(ck)
+    out = sk.unchecked_mul_lsb_small_carry(ca, cb)
+    np.testing.assert_array_equal(
+        np.asarray(ck.decrypt(sk.message_extract(out))), (a * b) % M)
+
+
+def test_correcting_term_sub(skeys):
+    ck, sk = skeys
+    a, b, ca, cb = enc_pairs(ck)
+    out, z = sk.unchecked_sub_with_correcting_term(ca, cb)
+    assert z % M == 0
+    np.testing.assert_array_equal(
+        np.asarray(ck.decrypt_message_and_carry(out)), (a - b + z))
+
+
+def test_scalar_bitwise_and_cmp(skeys):
+    ck, sk = skeys
+    a = np.arange(M)
+    ca = ck.encrypt(jnp.asarray(a), seed=21)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(sk.scalar_bitand(ca, 2))),
+                                  a & 2)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(sk.scalar_bitor(ca, 1))),
+                                  a | 1)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(sk.scalar_bitxor(ca, 3))),
+                                  a ^ 3)
+    np.testing.assert_array_equal(
+        np.asarray(ck.decrypt(sk.scalar_greater_or_equal(ca, 2))),
+        (a >= 2).astype(np.uint64))
+    np.testing.assert_array_equal(
+        np.asarray(ck.decrypt(sk.scalar_not_equal(ca, 1))),
+        (a != 1).astype(np.uint64))
+    np.testing.assert_array_equal(
+        np.asarray(ck.decrypt(sk.scalar_mod(ca, 3))), a % 3)
+    np.testing.assert_array_equal(
+        np.asarray(ck.decrypt(sk.unchecked_scalar_div(ca, 2))), a // 2)
+
+
+def test_left_shift_linear_and_trivials(skeys):
+    """unchecked_scalar_left_shift is a linear multiply into the carry
+    (reference shift.rs) — no PBS, exact over message+carry."""
+    ck, sk = skeys
+    a = np.arange(M)
+    ca = ck.encrypt(jnp.asarray(a), seed=22)
+    out = sk.unchecked_scalar_left_shift(ca, 1)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt_message_and_carry(out)),
+                                  a << 1)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(sk.smart_scalar_left_shift(ca, 1))) % M,
+                                  (a << 1) % M)
+    triv = sk.create_trivial(np.array([0, 1, 2, 3]))
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(triv)),
+                                  np.array([0, 1, 2, 3]) % M)
+    full = sk.unchecked_create_trivial(np.array([5]))
+    np.testing.assert_array_equal(
+        np.asarray(ck.decrypt_message_and_carry(full)), [5])
+    assert sk.is_add_possible(ca, ca)
+    assert sk.bootstrapping_key_size_bytes() > 0
+    assert sk.key_switching_key_size_elements() > 0
+    assert sk.deterministic_pbs_execution()

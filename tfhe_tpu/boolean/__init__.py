@@ -139,6 +139,30 @@ def _fresh_noise_std(params: BooleanParameters) -> float:
     return params.glwe_noise_std
 
 
+@struct.dataclass
+class CompressedCiphertext:
+    """Seeded boolean ciphertext: body + mask seed only (reference
+    boolean CompressedCiphertext, boolean/ciphertext/mod.rs)."""
+
+    seeded: Any
+    params: BooleanParameters = struct.field(pytree_node=False, default=None)
+
+    def decompress(self) -> BoolCiphertext:
+        from ..core.algorithms.seeded import decompress_lwe
+        return BoolCiphertext(lwe=decompress_lwe(self.seeded))
+
+
+def encrypt_compressed(ck: ClientKey, messages, seed: int = 1) -> CompressedCiphertext:
+    """reference ClientKey::encrypt_compressed — the mask regenerates from
+    the seed at decompression, so the wire size is one torus word per bool."""
+    from ..core.algorithms.seeded import encrypt_lwe_seeded
+    msgs = jnp.asarray(messages, dtype=bool)
+    pts = jnp.where(msgs, plaintext_true(ck.params), plaintext_false(ck.params))
+    seeded = encrypt_lwe_seeded(seed, ck.encryption_key, pts,
+                                _fresh_noise_std(ck.params), ck.params.log_q)
+    return CompressedCiphertext(seeded=seeded, params=ck.params)
+
+
 def trivial_encrypt(params: BooleanParameters, messages) -> BoolCiphertext:
     msgs = jnp.asarray(messages, dtype=bool)
     pts = jnp.where(msgs, plaintext_true(params), plaintext_false(params))

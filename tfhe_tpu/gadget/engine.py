@@ -324,6 +324,22 @@ def simple_plaintext_sum(ct: Ciphertext, constant: int, modulus: int) -> Ciphert
     return Ciphertext(lwe=LweCiphertext(data=data), encoding=ct.encoding)
 
 
+def simple_mul_constant(ct: Ciphertext, coeff: int, modulus: int) -> Ciphertext:
+    """Cleartext multiply without touching the encoding (reference
+    simple_mul_constant, gadget/engine/mod.rs:610-640)."""
+    c = jnp.uint64(coeff % modulus)
+    return Ciphertext(lwe=LweCiphertext(data=ct.lwe.data * c),
+                      encoding=ct.encoding)
+
+
+def linear_combination(cts: Sequence[Ciphertext], coefficients: Sequence[int],
+                       modulus: int) -> Ciphertext:
+    """Σ coeff_i · ct_i over a shared encoding (reference linear_combination,
+    gadget/server_key/mod.rs:128-135)."""
+    return simple_sum([simple_mul_constant(c, k, modulus)
+                       for c, k in zip(cts, coefficients)])
+
+
 # ---------------------------------------------------------------------------
 # multi-value bootstrap (reference mvb_bootstrap, engine/bootstrapping.rs:567-620)
 # ---------------------------------------------------------------------------
@@ -442,9 +458,18 @@ def pack_into_new_accumulator(sk: ServerKey, lwes: List[LweCiphertext],
     return GlweCiphertext(data=out)
 
 
+def compute_common_factor(sk: ServerKey, ct: Ciphertext,
+                          enc_out: Encoding) -> GlweCiphertext:
+    """KS then the all-ones blind rotation whose result seeds every MVB
+    output (reference compute_common_factor, gadget/engine/mod.rs:397-413)."""
+    small = keyswitch_lwe(ct.lwe, sk.ksk, LOG_Q)
+    return bootstrap_common_factor(sk, small, enc_out)
+
+
 def simple_tree_bootstrapping(sk: ServerKey, inputs: Sequence[Ciphertext],
                               enc_out: Encoding, t: int,
-                              lut_fi: Sequence[int]) -> Ciphertext:
+                              lut_fi: Sequence[int],
+                              common_factor: GlweCiphertext = None) -> Ciphertext:
     """Depth-2 tree bootstrap: MVB on inputs[1] over t/o_0 sub-LUTs, pack the
     outputs into a new accumulator, bootstrap inputs[0] against it
     (reference simple_tree_bootstrapping, gadget/engine/mod.rs:415-514)."""
@@ -454,8 +479,8 @@ def simple_tree_bootstrapping(sk: ServerKey, inputs: Sequence[Ciphertext],
     first_functions = [[lut_fi[x + j * o0] for x in range(o0)]
                        for j in range(t // o0)]
 
-    small = keyswitch_lwe(c0.lwe, sk.ksk, LOG_Q)
-    v0 = bootstrap_common_factor(sk, small, enc_out)
+    v0 = (compute_common_factor(sk, c0, enc_out)
+          if common_factor is None else common_factor)
     firsts = mvb_bootstrap_with_common_factor(
         sk, v0, c0.encoding, [enc_out] * (t // o0), first_functions)
     next_acc = pack_into_new_accumulator(sk, firsts, c0.encoding.modulus_p)
@@ -464,6 +489,36 @@ def simple_tree_bootstrapping(sk: ServerKey, inputs: Sequence[Ciphertext],
     small1 = keyswitch_lwe(c1.lwe, sk.ksk, LOG_Q)
     final = programmable_bootstrap(small1, next_acc, sk.bsk, LOG_Q)
     return Ciphertext(lwe=final, encoding=enc_out)
+
+
+def full_tree_bootstrapping(sk: ServerKey, inputs: Sequence[Ciphertext],
+                            encodings_out: Sequence[Encoding], t: int,
+                            f: Callable[[int], int]) -> List[Ciphertext]:
+    """Evaluate x ↦ f(x) over the product of the inputs' origin moduli and
+    return its two base-o digits [high, low]; one shared common factor feeds
+    both depth-2 trees (reference full_tree_bootstrapping,
+    gadget/server_key/mod.rs:53-95)."""
+    origin_mods = [c.encoding.origin_modulus for c in inputs]
+    prod = 1
+    for o in origin_mods:
+        prod *= o
+    assert prod == t, "inputs' origin moduli must multiply to t"
+    o = origin_mods[0]
+    lut_f0 = [f(x) % o for x in range(t)]
+    lut_f1 = [(f(x) - f(x) % o) // o for x in range(t)]
+    common = compute_common_factor(sk, inputs[1], encodings_out[0])
+    r0 = simple_tree_bootstrapping(sk, inputs, encodings_out[0], t, lut_f0,
+                                   common_factor=common)
+    r1 = simple_tree_bootstrapping(sk, inputs, encodings_out[1], t, lut_f1,
+                                   common_factor=common)
+    return [r1, r0]
+
+
+def encoding_switching_lut(sk: ServerKey, ct: Ciphertext,
+                           enc_out: Encoding) -> Ciphertext:
+    """Identity LUT into a different encoding (reference
+    encoding_switching_lut, gadget/server_key/mod.rs:97-99)."""
+    return apply_lut(sk, ct, enc_out, lambda x: x)
 
 
 # ---------------------------------------------------------------------------
@@ -536,3 +591,60 @@ class Gadget:
             assert ct.encoding == enc, "input encoding mismatch"
         return exec_gadget_with_extraction(sk, self.enc_inter, self.enc_out,
                                            list(inputs))
+
+    def exec_clear(self, bits: Sequence[int]) -> int:
+        """Clear-model evaluation (reference exec_clear,
+        gadget/gadget/mod.rs:134-136)."""
+        return int(self.truth_table(*[int(b) for b in bits]))
+
+    @staticmethod
+    def split_int_in_booleans(x: int, expected_length: int,
+                              big_endian: bool = False) -> List[int]:
+        """(reference split_int_in_booleans, gadget/gadget/mod.rs:82-94)."""
+        bits = [(x >> i) & 1 for i in range(expected_length)]
+        return bits[::-1] if big_endian else bits
+
+    @staticmethod
+    def vec_bool_to_int(bits: Sequence[int], big_endian: bool = False) -> int:
+        """(reference vec_bool_to_int, gadget/gadget/mod.rs:97-107)."""
+        seq = list(bits)[::-1] if big_endian else list(bits)
+        return sum((1 << i) for i, b in enumerate(seq) if b)
+
+    def cast_before_gadget(self, coefficients: Sequence[int],
+                           inputs: Sequence[Ciphertext]) -> List[Ciphertext]:
+        """Scale {0,1}-encoded inputs onto this gadget's input encodings
+        (reference cast_before_gadget, gadget/gadget/mod.rs:150-155)."""
+        return [encoding_switching_mul_constant(x, c)
+                for x, c in zip(inputs, coefficients) if c != 0]
+
+    def cast_before_gadget_from_1(self, inputs: Sequence[Ciphertext]) -> List[Ciphertext]:
+        coeffs = [e.get_part_single_value_if_canonical(1) for e in self.enc_in]
+        return self.cast_before_gadget(coeffs, inputs)
+
+    @staticmethod
+    def modulus_switching(sk: ServerKey, inputs: Sequence[Ciphertext],
+                          p_in_vec: Sequence[int], p_out: int) -> List[Ciphertext]:
+        """Move each input to modulus p_out via an identity gadget
+        (reference modulus_switching, gadget/gadget/mod.rs:164-174)."""
+        assert len(inputs) == len(p_in_vec)
+        out = []
+        for x, p_i in zip(inputs, p_in_vec):
+            if p_i == p_out:
+                out.append(x)
+                continue
+            g = Gadget.new_canonical(lambda b: b, 1, [1], 1, p_i, p_out)
+            out.append(g.exec(sk, [x]))
+        return out
+
+    def test_full(self, ck: ClientKey, sk: ServerKey) -> bool:
+        """Exhaustive truth-table check, encrypt→exec→decrypt per input row
+        (the reference's debug helper, gadget/gadget/mod.rs:110-131)."""
+        arity = len(self.enc_in)
+        for x in range(1 << arity):
+            bits = self.split_int_in_booleans(x, arity)
+            cts = [encrypt_arithmetic(ck, b, e, seed=1000 + x * 17 + i)
+                   for i, (b, e) in enumerate(zip(bits, self.enc_in))]
+            got = int(np.asarray(decrypt(ck, self.exec(sk, cts))))
+            if got != self.exec_clear(bits):
+                return False
+        return True

@@ -22,6 +22,7 @@ from .. import integer, shortint
 from ..core.params import shortint_params
 
 __all__ = ["ConfigBuilder", "Config", "ClientKey", "ServerKey", "PublicKey",
+           "CompactPublicKey", "CompressedServerKey", "CompressedFheUint",
            "generate_keys", "set_server_key", "unset_server_key",
            "FheBool", "FheUint2", "FheUint4", "FheUint8", "FheUint16",
            "FheUint32", "FheUint64", "FheUint128", "FheUint256",
@@ -84,12 +85,98 @@ class ServerKey:
 
 
 class PublicKey:
-    """Encryption-only key material.  Until dedicated LWE public keys land,
-    this wraps the client key's encryption capability (API-compatible
-    placeholder for reference `PublicKey`)."""
+    """Encryption-only key: LWE zero-encryptions summed over a fresh random
+    binary subset per ciphertext (reference `PublicKey`,
+    high_level_api/keys/public.rs over core lwe_public_key.rs)."""
 
-    def __init__(self, client_key: ClientKey):
-        self._ck = client_key
+    def __init__(self, client_key: ClientKey, zero_count: int = None,
+                 seed: int = 1):
+        from ..core import rng
+        from ..core.algorithms.public_key import generate_lwe_public_key
+        ck = client_key.shortint_ck
+        n = ck.encryption_key.lwe_dimension
+        key = rng.fork(rng.key_from_seed(seed), 0xA11)
+        self.pk = generate_lwe_public_key(key, ck.encryption_key,
+                                          zero_count or 2 * n,
+                                          ck.encryption_noise_std, 64)
+        self.params = ck.params
+
+    def encrypt_radix(self, values, num_blocks: int,
+                      seed: int = 0) -> "integer.RadixCiphertext":
+        from ..core import rng
+        from ..core.algorithms.public_key import encrypt_lwe_with_public_key
+        from ..integer.ciphertext import RadixCiphertext
+        from ..shortint.ciphertext import Ciphertext as Block
+        from ..shortint.ciphertext import NoiseLevel
+        from ..shortint.client_key import delta_for
+        p = self.params
+        m = p.message_modulus
+        vals = np.asarray(values, dtype=object).reshape(-1) % (m ** num_blocks)
+        shape = np.shape(values)
+        blocks = []
+        for i in range(num_blocks):
+            bv = jnp.asarray(((vals // m ** i) % m).astype(np.uint64)).reshape(shape)
+            key = rng.fork(rng.key_from_seed(seed * 1013 + i), 0xA12)
+            lwe = encrypt_lwe_with_public_key(key, self.pk,
+                                              bv * delta_for(p))
+            blocks.append(Block(lwe=lwe, degree=m - 1, message_modulus=m,
+                                carry_modulus=p.carry_modulus,
+                                noise_level=NoiseLevel.NOMINAL))
+        return RadixCiphertext(blocks=blocks)
+
+
+class CompactPublicKey:
+    """Ring-LWE compact public key: one (a(X), b(X)) pair; a batch of
+    ciphertexts shares one encryption polynomial (reference
+    `CompactPublicKey`, core lwe_compact_public_key.rs).  Requires a
+    power-of-two encryption-key dimension (the reference's constraint)."""
+
+    def __init__(self, client_key: ClientKey, seed: int = 2):
+        from ..core import rng
+        from ..core.algorithms.public_key import generate_lwe_compact_public_key
+        ck = client_key.shortint_ck
+        key = rng.fork(rng.key_from_seed(seed), 0xA21)
+        self.pk = generate_lwe_compact_public_key(
+            key, ck.encryption_key, ck.encryption_noise_std, 64)
+        self.params = ck.params
+
+    def encrypt_radix(self, values, num_blocks: int, seed: int = 0):
+        from ..core import rng
+        from ..core.algorithms.public_key import encrypt_lwe_compact_batch
+        from ..core.entities import LweCiphertext
+        from ..integer.ciphertext import RadixCiphertext
+        from ..shortint.ciphertext import Ciphertext as Block
+        from ..shortint.ciphertext import NoiseLevel
+        from ..shortint.client_key import delta_for
+        p = self.params
+        m = p.message_modulus
+        vals = np.asarray(values, dtype=object).reshape(-1) % (m ** num_blocks)
+        digits = np.stack([(vals // m ** i % m).astype(np.uint64)
+                           for i in range(num_blocks)], axis=-1)
+        key = rng.fork(rng.key_from_seed(seed), 0xA22)
+        cts = encrypt_lwe_compact_batch(key, self.pk,
+                                        jnp.asarray(digits) * delta_for(p),
+                                        p.glwe_noise_std)
+        shape = np.shape(values)
+        blocks = []
+        for i in range(num_blocks):
+            data = cts.data[..., i, :].reshape(shape + cts.data.shape[-1:])
+            blocks.append(Block(lwe=LweCiphertext(data=data), degree=m - 1,
+                                message_modulus=m,
+                                carry_modulus=p.carry_modulus,
+                                noise_level=NoiseLevel.NOMINAL))
+        return RadixCiphertext(blocks=blocks)
+
+
+class CompressedServerKey:
+    """Seed + bodies only on the wire (reference CompressedServerKey)."""
+
+    def __init__(self, client_key: ClientKey, seed: int = 3):
+        self.inner = shortint.gen_compressed_server_key(
+            client_key.shortint_ck, seed=seed)
+
+    def decompress(self) -> "ServerKey":
+        return ServerKey(integer.ServerKey(key=self.inner.decompress()))
 
 
 def generate_keys(config: Config = None, seed: int = 0):
@@ -151,6 +238,9 @@ class _FheUintBase:
             return self._wrap(_sk().sub(self.ct, other.ct))
         return self._wrap(_sk().scalar_sub(self.ct, int(other)))
 
+    def __rsub__(self, other):
+        return self._wrap(_sk().scalar_add(_sk().neg(self.ct), int(other)))
+
     def __mul__(self, other):
         if isinstance(other, _FheUintBase):
             return self._wrap(_sk().mul(self.ct, other.ct))
@@ -162,13 +252,25 @@ class _FheUintBase:
         return self._wrap(_sk().neg(self.ct))
 
     def __and__(self, other):
-        return self._wrap(_sk().bitand(self.ct, other.ct))
+        if isinstance(other, _FheUintBase):
+            return self._wrap(_sk().bitand(self.ct, other.ct))
+        return self._wrap(_sk().scalar_bitand(self.ct, int(other)))
+
+    __rand__ = __and__
 
     def __or__(self, other):
-        return self._wrap(_sk().bitor(self.ct, other.ct))
+        if isinstance(other, _FheUintBase):
+            return self._wrap(_sk().bitor(self.ct, other.ct))
+        return self._wrap(_sk().scalar_bitor(self.ct, int(other)))
+
+    __ror__ = __or__
 
     def __xor__(self, other):
-        return self._wrap(_sk().bitxor(self.ct, other.ct))
+        if isinstance(other, _FheUintBase):
+            return self._wrap(_sk().bitxor(self.ct, other.ct))
+        return self._wrap(_sk().scalar_bitxor(self.ct, int(other)))
+
+    __rxor__ = __xor__
 
     def __invert__(self):
         return self._wrap(_sk().bitnot(self.ct))
@@ -179,6 +281,13 @@ class _FheUintBase:
         return self._wrap(_sk().scalar_left_shift(self.ct, int(shift)))
 
     def __rshift__(self, shift):
+        """Logical for FheUint, arithmetic (sign-extending) for FheInt —
+        the reference's Shr semantics per type."""
+        if self.SIGNED:
+            if isinstance(shift, _FheUintBase):
+                return self._wrap(_sk().right_shift_arithmetic(self.ct, shift.ct))
+            return self._wrap(_sk().scalar_right_shift_arithmetic(
+                self.ct, int(shift)))
         if isinstance(shift, _FheUintBase):
             return self._wrap(_sk().right_shift(self.ct, shift.ct))
         return self._wrap(_sk().scalar_right_shift(self.ct, int(shift)))
@@ -195,13 +304,21 @@ class _FheUintBase:
         return self._wrap(_sk().scalar_rotate_right(self.ct, int(amount)))
 
     def __floordiv__(self, other):
-        return self._wrap(_sk().div(self.ct, other.ct))
+        if isinstance(other, _FheUintBase):
+            return self._wrap(_sk().div(self.ct, other.ct))
+        if self.SIGNED:
+            return self._wrap(_sk().signed_scalar_div(self.ct, int(other)))
+        return self._wrap(_sk().scalar_div(self.ct, int(other)))
 
     def __truediv__(self, other):
         return self.__floordiv__(other)
 
     def __mod__(self, other):
-        return self._wrap(_sk().rem(self.ct, other.ct))
+        if isinstance(other, _FheUintBase):
+            return self._wrap(_sk().rem(self.ct, other.ct))
+        if self.SIGNED:
+            return self._wrap(_sk().signed_scalar_rem(self.ct, int(other)))
+        return self._wrap(_sk().scalar_rem(self.ct, int(other)))
 
     def abs(self):
         if not self.SIGNED:
@@ -215,31 +332,37 @@ class _FheUintBase:
         return FheBool(_sk().scalar_eq(self.ct, int(other)))
 
     def ne(self, other):
-        return FheBool(_sk().ne(self.ct, other.ct))
+        if isinstance(other, _FheUintBase):
+            return FheBool(_sk().ne(self.ct, other.ct))
+        return FheBool(_sk().scalar_ne(self.ct, int(other)))
 
     def lt(self, other):
         if isinstance(other, _FheUintBase):
             fn = _sk().lt_signed if self.SIGNED else _sk().lt
             return FheBool(fn(self.ct, other.ct))
-        return FheBool(_sk().scalar_lt(self.ct, int(other)))
+        fn = _sk().scalar_lt_signed if self.SIGNED else _sk().scalar_lt
+        return FheBool(fn(self.ct, int(other)))
 
     def le(self, other):
         if isinstance(other, _FheUintBase):
             fn = _sk().le_signed if self.SIGNED else _sk().le
             return FheBool(fn(self.ct, other.ct))
-        return FheBool(_sk().scalar_le(self.ct, int(other)))
+        fn = _sk().scalar_le_signed if self.SIGNED else _sk().scalar_le
+        return FheBool(fn(self.ct, int(other)))
 
     def gt(self, other):
         if isinstance(other, _FheUintBase):
             fn = _sk().gt_signed if self.SIGNED else _sk().gt
             return FheBool(fn(self.ct, other.ct))
-        return FheBool(_sk().scalar_gt(self.ct, int(other)))
+        fn = _sk().scalar_gt_signed if self.SIGNED else _sk().scalar_gt
+        return FheBool(fn(self.ct, int(other)))
 
     def ge(self, other):
         if isinstance(other, _FheUintBase):
             fn = _sk().ge_signed if self.SIGNED else _sk().ge
             return FheBool(fn(self.ct, other.ct))
-        return FheBool(_sk().scalar_ge(self.ct, int(other)))
+        fn = _sk().scalar_ge_signed if self.SIGNED else _sk().scalar_ge
+        return FheBool(fn(self.ct, int(other)))
 
     __eq__ = eq
     __ne__ = ne
@@ -249,17 +372,100 @@ class _FheUintBase:
     __ge__ = ge
     __hash__ = None
 
+    def _as_ct(self, other):
+        """Lift a clear scalar to a trivial radix of this width."""
+        if isinstance(other, _FheUintBase):
+            return other.ct
+        w = self.NUM_BITS
+        return _sk().create_trivial_radix(int(other) % (1 << w),
+                                          self.ct.num_blocks,
+                                          self.ct.batch_shape)
+
     def min(self, other):
-        return self._wrap(_sk().min(self.ct, other.ct))
+        fn = _sk().min_signed if self.SIGNED else _sk().min
+        return self._wrap(fn(self.ct, self._as_ct(other)))
 
     def max(self, other):
-        return self._wrap(_sk().max(self.ct, other.ct))
+        fn = _sk().max_signed if self.SIGNED else _sk().max
+        return self._wrap(fn(self.ct, self._as_ct(other)))
+
+    def overflowing_add(self, other):
+        """(wrapped sum, overflow flag) — reference overflowing_add."""
+        fn = (_sk().signed_overflowing_add if self.SIGNED
+              else _sk().unsigned_overflowing_add)
+        s, ov = fn(self.ct, self._as_ct(other))
+        return self._wrap(s), FheBool(ov)
+
+    def overflowing_sub(self, other):
+        fn = (_sk().signed_overflowing_sub if self.SIGNED
+              else _sk().unsigned_overflowing_sub)
+        d, ov = fn(self.ct, self._as_ct(other))
+        return self._wrap(d), FheBool(ov)
 
     def cast_into(self, target_cls, ck_blocks_hint: int = None):
         """Width cast (reference cast_into): resize the block list."""
         bits_per_block = int(math.log2(self.ct.message_modulus))
         nb = target_cls.NUM_BITS // bits_per_block
         return target_cls(_sk().cast_to_size(self.ct, nb))
+
+    @classmethod
+    def encrypt_with_public_key(cls, values, pk: "PublicKey", seed: int = 0):
+        """reference FheUint::try_encrypt(clear, &PublicKey)."""
+        bits = int(math.log2(pk.params.message_modulus))
+        return cls(pk.encrypt_radix(values, cls.NUM_BITS // bits, seed=seed))
+
+    @classmethod
+    def encrypt_with_compact_public_key(cls, values, pk: "CompactPublicKey",
+                                        seed: int = 0):
+        bits = int(math.log2(pk.params.message_modulus))
+        return cls(pk.encrypt_radix(values, cls.NUM_BITS // bits, seed=seed))
+
+    @classmethod
+    def encrypt_compressed(cls, values, ck: ClientKey, seed: int = 1):
+        """reference CompressedFheUint::try_encrypt — seeded blocks, masks
+        regenerate on decompression."""
+        return CompressedFheUint.encrypt(values, ck, cls, seed=seed)
+
+
+class CompressedFheUint:
+    """Seeded radix ciphertext: each block stores only its body + the mask
+    seed (reference CompressedFheUint / CompressedRadixCiphertext)."""
+
+    def __init__(self, seeded_blocks, fhe_cls, params):
+        self.seeded_blocks = seeded_blocks
+        self.fhe_cls = fhe_cls
+        self.params = params
+
+    @classmethod
+    def encrypt(cls, values, ck: ClientKey, fhe_cls, seed: int = 1):
+        from ..core.algorithms.seeded import encrypt_lwe_seeded
+        sck = ck.shortint_ck
+        p = sck.params
+        m = p.message_modulus
+        nb = fhe_cls.num_blocks(ck)
+        from ..shortint.client_key import delta_for
+        vals = np.asarray(values, dtype=object).reshape(-1) % (m ** nb)
+        shape = np.shape(values)
+        blocks = []
+        for i in range(nb):
+            bv = jnp.asarray(((vals // m ** i) % m).astype(np.uint64)).reshape(shape)
+            blocks.append(encrypt_lwe_seeded(seed * 4099 + i, sck.encryption_key,
+                                             bv * delta_for(p),
+                                             sck.encryption_noise_std, 64))
+        return cls(blocks, fhe_cls, p)
+
+    def decompress(self):
+        from ..core.algorithms.seeded import decompress_lwe
+        from ..integer.ciphertext import RadixCiphertext
+        from ..shortint.ciphertext import Ciphertext as Block
+        from ..shortint.ciphertext import NoiseLevel
+        p = self.params
+        blocks = [Block(lwe=decompress_lwe(s), degree=p.message_modulus - 1,
+                        message_modulus=p.message_modulus,
+                        carry_modulus=p.carry_modulus,
+                        noise_level=NoiseLevel.NOMINAL)
+                  for s in self.seeded_blocks]
+        return self.fhe_cls(RadixCiphertext(blocks=blocks))
 
 
 class FheBool:
@@ -302,6 +508,12 @@ class FheBool:
         sk = _sk().key
         return FheBool(type(self.block)(
             block=sk.evaluate_univariate(self.block.block, lambda x: 1 - (x % 2))))
+
+    def eq(self, other):
+        return ~(self ^ other)
+
+    def ne(self, other):
+        return self ^ other
 
 
 def _make_type(name, bits, signed=False):

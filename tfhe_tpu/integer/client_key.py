@@ -84,6 +84,12 @@ class RadixClientKey:
                   for bv in self._block_values(values)]
         return RadixCiphertext(blocks=blocks)
 
+    def decrypt_bool(self, ct) -> np.ndarray:
+        """Decrypt a BooleanBlock to a bool array (reference
+        ClientKey::decrypt_bool, integer/client_key/mod.rs)."""
+        block = ct.block if hasattr(ct, "block") else ct
+        return np.asarray(self.key.decrypt(block)).astype(bool)
+
 
 @struct.dataclass
 class CrtClientKey:

@@ -506,6 +506,14 @@ class ServerKey:
         bits = self._apply_luts_stacked(a.blocks, luts)
         return self._all_ones(bits)
 
+    def scalar_ne(self, a, scalar: int):
+        e = self.scalar_eq(a, scalar)
+        return BooleanBlock(block=self.key.evaluate_univariate(
+            e.block, lambda x: 1 - (x % 2)))
+
+    scalar_eq_parallelized = scalar_eq
+    scalar_ne_parallelized = scalar_ne
+
     def _scalar_cmp(self, a, scalar: int, accept):
         a = self._maybe_propagate(a)
         states = self._scalar_compare_states(a, scalar)
@@ -872,6 +880,279 @@ class ServerKey:
         return type(a)(blocks=a.blocks + [zero] * (nb - a.num_blocks))
 
     # ------------------------------------------------------------------
+    # scalar bitwise (reference radix_parallel/scalar_bitwise_op.rs):
+    # one batched LUT layer with the scalar's radix digits baked in
+    # ------------------------------------------------------------------
+
+    def _scalar_bitwise(self, a: RadixCiphertext, scalar: int, op) -> RadixCiphertext:
+        a = self._maybe_propagate(a)
+        m = self.msg_mod
+        sb = self._scalar_blocks(scalar, a.num_blocks)
+        luts = [self.key.generate_lookup_table(
+                    lambda x, s=s: op(x % m, s) % m) for s in sb]
+        return type(a)(blocks=self._apply_luts_stacked(a.blocks, luts))
+
+    def scalar_bitand(self, a, scalar: int):
+        return self._scalar_bitwise(a, scalar, lambda x, s: x & s)
+
+    def scalar_bitor(self, a, scalar: int):
+        return self._scalar_bitwise(a, scalar, lambda x, s: x | s)
+
+    def scalar_bitxor(self, a, scalar: int):
+        return self._scalar_bitwise(a, scalar, lambda x, s: x ^ s)
+
+    scalar_bitand_parallelized = scalar_bitand
+    scalar_bitor_parallelized = scalar_bitor
+    scalar_bitxor_parallelized = scalar_bitxor
+
+    # ------------------------------------------------------------------
+    # scalar min/max and small-scalar / single-block multiplies
+    # ------------------------------------------------------------------
+
+    def scalar_min(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
+        triv = self.create_trivial_radix(scalar, a.num_blocks, a.batch_shape)
+        return self.cmux(self.scalar_le(a, scalar), a, triv)
+
+    def scalar_max(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
+        triv = self.create_trivial_radix(scalar, a.num_blocks, a.batch_shape)
+        return self.cmux(self.scalar_ge(a, scalar), a, triv)
+
+    scalar_min_parallelized = scalar_min
+    scalar_max_parallelized = scalar_max
+
+    def small_scalar_mul(self, a: RadixCiphertext, scalar: int) -> RadixCiphertext:
+        """scalar < msg_mod: one linear blockwise multiply + propagation
+        (reference small_scalar_mul_parallelized)."""
+        if not 0 <= scalar < self.msg_mod:
+            raise ValueError("small_scalar_mul needs 0 <= scalar < msg_mod")
+        if scalar == 0:
+            return self.create_trivial_zero_radix(a.num_blocks, a.batch_shape)
+        a = self._maybe_propagate(a)
+        blocks = [self.key.unchecked_scalar_mul(b, scalar) for b in a.blocks]
+        return self.full_propagate(type(a)(blocks=blocks))
+
+    small_scalar_mul_parallelized = small_scalar_mul
+
+    def block_mul(self, a: RadixCiphertext, b: Block, index: int = 0) -> RadixCiphertext:
+        """Multiply a radix ciphertext by one shortint block placed at
+        `index` (reference block_mul_parallelized): all lsb/msb partial
+        products in one batched bivariate PBS."""
+        a = self._maybe_propagate(a)
+        if b.degree >= self.msg_mod:
+            b = self.key.message_extract(b)
+        nb = a.num_blocks
+        m = self.msg_mod
+        lut_lsb = self.key.generate_lookup_table(lambda x: ((x // m) * (x % m)) % m)
+        lut_msb = self.key.generate_lookup_table(lambda x: ((x // m) * (x % m)) // m)
+        pairs, luts, places = [], [], []
+        for i in range(nb):
+            if i + index < nb:
+                pairs.append(self.key.unchecked_bivariate_pack(a.blocks[i], b))
+                luts.append(lut_lsb)
+                places.append(i + index)
+            if i + index + 1 < nb:
+                pairs.append(self.key.unchecked_bivariate_pack(a.blocks[i], b))
+                luts.append(lut_msb)
+                places.append(i + index + 1)
+        outs = self._apply_luts_stacked(pairs, luts)
+        lo = [self._trivial_zero_block(a.batch_shape) for _ in range(nb)]
+        hi = [self._trivial_zero_block(a.batch_shape) for _ in range(nb)]
+        for blk, pl in zip(outs, places):
+            tgt = lo if lo[pl].degree == 0 else hi
+            tgt[pl] = blk if tgt[pl].degree == 0 else self.key.unchecked_add(tgt[pl], blk)
+        return self._sum_partials([type(a)(blocks=lo), type(a)(blocks=hi)])
+
+    block_mul_parallelized = block_mul
+
+    # ------------------------------------------------------------------
+    # scalar division (reference radix_parallel/scalar_div_mod.rs):
+    # Granlund–Montgomery round-up multiply-high — exact for every input
+    # ------------------------------------------------------------------
+
+    def scalar_div_rem(self, a: RadixCiphertext, divisor: int):
+        q = self.scalar_div(a, divisor)
+        qd = self.scalar_mul(q, divisor)
+        return q, self.sub(a, qd)
+
+    def scalar_div(self, a: RadixCiphertext, divisor: int) -> RadixCiphertext:
+        if divisor <= 0:
+            raise ValueError("scalar_div needs a positive divisor")
+        nb = a.num_blocks
+        bits = int(math.log2(self.msg_mod))
+        w = nb * bits
+        if divisor == 1:
+            return self._maybe_propagate(a)
+        if divisor >= (1 << w):
+            return self.create_trivial_zero_radix(nb, a.batch_shape)
+        if divisor & (divisor - 1) == 0:
+            return self.scalar_right_shift(a, divisor.bit_length() - 1)
+        # m·d ∈ (2^(w+sh), 2^(w+sh) + 2^sh] ⇒ floor(m·x / 2^(w+sh)) = x//d
+        sh = (divisor - 1).bit_length()
+        mul = (1 << (w + sh)) // divisor + 1
+        # x·m < 2^(w + bits(m)) — size the wide radix to hold the full product
+        nb_wide = nb + -(-mul.bit_length() // bits)
+        wide = self.cast_to_size(a, nb_wide)
+        prod = self.scalar_mul(wide, mul)
+        shifted = self.scalar_right_shift(prod, w + sh)
+        return self.cast_to_size(shifted, nb)
+
+    def scalar_rem(self, a: RadixCiphertext, divisor: int) -> RadixCiphertext:
+        return self.scalar_div_rem(a, divisor)[1]
+
+    scalar_div_parallelized = scalar_div
+    scalar_rem_parallelized = scalar_rem
+    scalar_div_rem_parallelized = scalar_div_rem
+
+    # ------------------------------------------------------------------
+    # signed scalar comparisons / division (reference signed_scalar_*):
+    # map two's complement onto unsigned order by offsetting 2^(w-1)
+    # ------------------------------------------------------------------
+
+    def _signed_scalar_offset(self, scalar: int, w: int) -> int:
+        return (scalar + (1 << (w - 1))) % (1 << w)
+
+    def _scalar_cmp_signed(self, a, scalar: int, accept):
+        w = a.num_blocks * int(math.log2(self.msg_mod))
+        return self._scalar_cmp(self._flip_sign_bit(a),
+                                self._signed_scalar_offset(scalar, w), accept)
+
+    def scalar_lt_signed(self, a, s):
+        return self._scalar_cmp_signed(a, s, (LT,))
+
+    def scalar_le_signed(self, a, s):
+        return self._scalar_cmp_signed(a, s, (LT, EQ))
+
+    def scalar_gt_signed(self, a, s):
+        return self._scalar_cmp_signed(a, s, (GT,))
+
+    def scalar_ge_signed(self, a, s):
+        return self._scalar_cmp_signed(a, s, (GT, EQ))
+
+    def _sign_bit(self, a: RadixCiphertext) -> BooleanBlock:
+        a = self._maybe_propagate(a)
+        bits = int(math.log2(self.msg_mod))
+        lut = self.key.generate_lookup_table(
+            lambda x: (x >> (bits - 1)) & 1)
+        return BooleanBlock(block=self.key.apply_lookup_table(a.blocks[-1], lut))
+
+    def signed_scalar_div_rem(self, a: RadixCiphertext, divisor: int):
+        """Truncating division of a signed radix by a clear divisor
+        (reference signed_scalar_div_rem_parallelized)."""
+        if divisor == 0:
+            raise ZeroDivisionError("signed_scalar_div by zero")
+        neg_in = self._sign_bit(a)
+        abs_a = self.cmux(neg_in, self.neg(a), a)
+        q_u = self.scalar_div(abs_a, abs(divisor))
+        r_u = self.sub(abs_a, self.scalar_mul(q_u, abs(divisor)))
+        flip_q = divisor < 0
+        q = self.cmux(neg_in, self.neg(q_u) if not flip_q else q_u,
+                      q_u if not flip_q else self.neg(q_u))
+        r = self.cmux(neg_in, self.neg(r_u), r_u)
+        return type(a)(blocks=q.blocks), type(a)(blocks=r.blocks)
+
+    def signed_scalar_div(self, a, divisor: int):
+        return self.signed_scalar_div_rem(a, divisor)[0]
+
+    def signed_scalar_rem(self, a, divisor: int):
+        return self.signed_scalar_div_rem(a, divisor)[1]
+
+    signed_scalar_div_parallelized = signed_scalar_div
+    signed_scalar_rem_parallelized = signed_scalar_rem
+    signed_scalar_div_rem_parallelized = signed_scalar_div_rem
+
+    # ------------------------------------------------------------------
+    # arithmetic right shift (reference
+    # unchecked_scalar_right_shift_arithmetic_parallelized): logical shift,
+    # then OR the sign-extension mask under a cmux on the sign bit
+    # ------------------------------------------------------------------
+
+    def scalar_right_shift_arithmetic(self, a: RadixCiphertext,
+                                      shift: int) -> RadixCiphertext:
+        w = a.num_blocks * int(math.log2(self.msg_mod))
+        shift = min(shift, w - 1)
+        if shift == 0:
+            return self._maybe_propagate(a)
+        sign = self._sign_bit(a)
+        logical = self.scalar_right_shift(a, shift)
+        mask = ((1 << w) - 1) ^ ((1 << (w - shift)) - 1)
+        extended = self.scalar_bitor(logical, mask)
+        return self.cmux(sign, extended, logical)
+
+    scalar_right_shift_arithmetic_parallelized = scalar_right_shift_arithmetic
+
+    def right_shift_arithmetic(self, a: RadixCiphertext,
+                               amount: RadixCiphertext) -> RadixCiphertext:
+        """Sign-extending shift by an encrypted amount: the same cmux ladder
+        as right_shift with arithmetic rungs."""
+        total_bits = a.num_blocks * int(math.log2(self.msg_mod))
+        n_sel = max(1, int(math.ceil(math.log2(total_bits))))
+        bits = self._amount_bits(amount, n_sel)
+        out = self._maybe_propagate(a)
+        for i, bit in enumerate(bits):
+            if bit is None:
+                continue
+            shifted = self.scalar_right_shift_arithmetic(out, 1 << i)
+            out = self.cmux(BooleanBlock(block=bit), shifted, out)
+        return out
+
+    right_shift_arithmetic_parallelized = right_shift_arithmetic
+
+    # ------------------------------------------------------------------
+    # overflowing variants (reference unsigned/signed_overflowing_* and the
+    # scalar twins)
+    # ------------------------------------------------------------------
+
+    def unsigned_overflowing_scalar_add(self, a: RadixCiphertext, scalar: int):
+        triv = self.create_trivial_radix(scalar, a.num_blocks, a.batch_shape)
+        return self.unsigned_overflowing_add(a, triv)
+
+    def unsigned_overflowing_scalar_sub(self, a: RadixCiphertext, scalar: int):
+        borrow = self.scalar_lt(a, scalar)
+        return self.scalar_sub(a, scalar), borrow
+
+    def _pack3_bool(self, x: Block, y: Block, z: Block, f) -> Block:
+        """LUT over three degree-1 blocks packed as 4x+2y+z (needs
+        max_degree ≥ 7, true for every carry ≥ 2 parameter set)."""
+        packed = x.with_(
+            lwe=LweCiphertext(data=x.lwe.data * jnp.uint64(4)
+                              + y.lwe.data * jnp.uint64(2) + z.lwe.data),
+            degree=4 * x.degree + 2 * y.degree + z.degree,
+            noise_level=4 * x.noise_level + 2 * y.noise_level + z.noise_level)
+        lut = self.key.generate_lookup_table(
+            lambda v: int(f((v >> 2) & 1, (v >> 1) & 1, v & 1)))
+        return self.key.apply_lookup_table(packed, lut)
+
+    def signed_overflowing_add(self, a: RadixCiphertext, b: RadixCiphertext):
+        """(sum mod 2^w, overflow): overflow ⇔ operands share a sign the
+        result doesn't (reference signed_overflowing_add_parallelized)."""
+        sa, sb = self._sign_bit(a), self._sign_bit(b)
+        s = self.add_parallelized(a, b)
+        sr = self._sign_bit(s)
+        ov = self._pack3_bool(sa.block, sb.block, sr.block,
+                              lambda x, y, z: x == y and x != z)
+        return s, BooleanBlock(block=ov)
+
+    def signed_overflowing_sub(self, a: RadixCiphertext, b: RadixCiphertext):
+        sa, sb = self._sign_bit(a), self._sign_bit(b)
+        d = self.sub(a, b)
+        sr = self._sign_bit(d)
+        ov = self._pack3_bool(sa.block, sb.block, sr.block,
+                              lambda x, y, z: x != y and x != z)
+        return d, BooleanBlock(block=ov)
+
+    def signed_overflowing_scalar_add(self, a: RadixCiphertext, scalar: int):
+        w = a.num_blocks * int(math.log2(self.msg_mod))
+        triv = self.create_trivial_radix(scalar % (1 << w), a.num_blocks,
+                                         a.batch_shape)
+        return self.signed_overflowing_add(a, triv)
+
+    def signed_overflowing_scalar_sub(self, a: RadixCiphertext, scalar: int):
+        w = a.num_blocks * int(math.log2(self.msg_mod))
+        triv = self.create_trivial_radix(scalar % (1 << w), a.num_blocks,
+                                         a.batch_shape)
+        return self.signed_overflowing_sub(a, triv)
+
+    # ------------------------------------------------------------------
     # CRT ops (reference integer/server_key/crt_parallel/)
     # ------------------------------------------------------------------
 
@@ -904,6 +1185,53 @@ class ServerKey:
         blocks = [self.key.evaluate_univariate(x, lambda v, mi=mi, s=scalar: (v + s) % mi)
                   for x, mi in zip(a.blocks, a.moduli)]
         return CrtCiphertext(blocks=blocks, moduli=a.moduli)
+
+    def crt_sub(self, a: CrtCiphertext, b: CrtCiphertext) -> CrtCiphertext:
+        """Per-residue subtraction (reference crt sub via add of the
+        residue-wise negation)."""
+        return self.crt_add(a, self.crt_neg(b))
+
+    def crt_scalar_sub(self, a: CrtCiphertext, scalar: int) -> CrtCiphertext:
+        return self.crt_scalar_add(a, -scalar)
+
+    def crt_scalar_mul(self, a: CrtCiphertext, scalar: int) -> CrtCiphertext:
+        blocks = [self.key.evaluate_univariate(
+                      x, lambda v, mi=mi, s=scalar: (v * s) % mi)
+                  for x, mi in zip(a.blocks, a.moduli)]
+        return CrtCiphertext(blocks=blocks, moduli=a.moduli)
+
+    def pbs_crt_compliant_function(self, a: CrtCiphertext,
+                                   f: Callable[[int], int]) -> CrtCiphertext:
+        """Apply x ↦ f(x) residue-wise: valid whenever f commutes with the
+        CRT projection, e.g. polynomials (reference
+        pbs_crt_compliant_function_parallelized)."""
+        blocks = [self.key.evaluate_univariate(x, lambda v, mi=mi: f(v) % mi)
+                  for x, mi in zip(a.blocks, a.moduli)]
+        return CrtCiphertext(blocks=blocks, moduli=a.moduli)
+
+    def full_extract_message(self, a: CrtCiphertext) -> CrtCiphertext:
+        """Reduce every residue block below its modulus (reference
+        full_extract_message_assign_parallelized)."""
+        blocks = [self.key.evaluate_univariate(x, lambda v, mi=mi: v % mi)
+                  for x, mi in zip(a.blocks, a.moduli)]
+        return CrtCiphertext(blocks=blocks, moduli=a.moduli)
+
+    # the residue ops above already bootstrap every block, so the smart/
+    # unchecked twins coincide with the defaults (reference crt_parallel)
+    unchecked_crt_add = crt_add
+    smart_crt_add = crt_add
+    unchecked_crt_sub = crt_sub
+    smart_crt_sub = crt_sub
+    unchecked_crt_mul = crt_mul
+    smart_crt_mul = crt_mul
+    unchecked_crt_neg = crt_neg
+    smart_crt_neg = crt_neg
+    unchecked_crt_scalar_add = crt_scalar_add
+    smart_crt_scalar_add = crt_scalar_add
+    unchecked_crt_scalar_sub = crt_scalar_sub
+    smart_crt_scalar_sub = crt_scalar_sub
+    unchecked_crt_scalar_mul = crt_scalar_mul
+    smart_crt_scalar_mul = crt_scalar_mul
 
 
 def gen_keys(params="PARAM_MESSAGE_2_CARRY_2_KS_PBS", num_blocks: int = 4,

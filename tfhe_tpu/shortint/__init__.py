@@ -12,7 +12,9 @@ the batch in one XLA program.
 """
 from .ciphertext import Ciphertext, NoiseLevel
 from .client_key import ClientKey, gen_keys
-from .server_key import LookupTable, MaxDegree, ServerKey
+from .server_key import (CompressedServerKey, LookupTable, MaxDegree,
+                         ServerKey, gen_compressed_server_key)
 
 __all__ = ["Ciphertext", "ClientKey", "ServerKey", "LookupTable", "MaxDegree",
-           "NoiseLevel", "gen_keys"]
+           "NoiseLevel", "gen_keys", "CompressedServerKey",
+           "gen_compressed_server_key"]

@@ -360,6 +360,358 @@ class ServerKey:
         prod = self.mul(diff, cond)
         return self.add(prod, else_ct)
 
+    # ------------------------------------------------------------------
+    # precondition predicates (reference is_*_possible, shortint/server_key)
+    # ------------------------------------------------------------------
+
+    def is_add_possible(self, a, b) -> bool:
+        return a.degree + b.degree <= self.max_degree
+
+    def is_neg_possible(self, a) -> bool:
+        m = self.message_modulus
+        return -(-(a.degree + 1) // m) * m - 1 <= self.max_degree
+
+    def is_sub_possible(self, a, b) -> bool:
+        m = self.message_modulus
+        z = -(-(b.degree + 1) // m) * m
+        return a.degree + z - 1 <= self.max_degree
+
+    def is_scalar_add_possible(self, a, scalar: int) -> bool:
+        return a.degree + scalar <= self.max_degree
+
+    def is_scalar_sub_possible(self, a, scalar: int) -> bool:
+        return scalar <= a.degree
+
+    def is_scalar_mul_possible(self, a, scalar: int) -> bool:
+        return a.degree * scalar <= self.max_degree
+
+    def is_scalar_left_shift_possible(self, a, shift: int) -> bool:
+        return a.degree << shift <= self.max_degree
+
+    def is_bivariate_pbs_possible(self, a, b) -> bool:
+        """left·m + right must fit the LUT domain
+        (reference is_bivariate_pbs_possible, bivariate_pbs.rs)."""
+        m = self.message_modulus
+        return b.degree < m and a.degree * m + b.degree <= self.max_degree
+
+    def is_mul_possible(self, a, b) -> bool:
+        return self.is_bivariate_pbs_possible(a, b)
+
+    def is_mul_small_carry_possible(self, a, b) -> bool:
+        return (a.degree + b.degree <= self.max_degree
+                and self.is_sub_possible(a, b))
+
+    def _check_bivariate(self, a, b):
+        if not self.is_bivariate_pbs_possible(a, b):
+            raise ValueError("CarryFull: bivariate PBS domain overflow")
+
+    # ------------------------------------------------------------------
+    # trivial encryption on the server (reference create_trivial, mod.rs)
+    # ------------------------------------------------------------------
+
+    def create_trivial(self, values) -> Ciphertext:
+        """Noiseless encryption of values % msg_mod under the key layout the
+        server's ops expect (reference ServerKey::create_trivial)."""
+        from ..core.algorithms import trivial_lwe
+        from ..core.params import EncryptionKeyChoice
+        from .client_key import delta_for
+        p = self.params
+        m = self.message_modulus
+        msgs = jnp.asarray(values).astype(jnp.uint64) % jnp.uint64(m)
+        n = (p.glwe_dimension * p.polynomial_size
+             if p.encryption_key_choice == EncryptionKeyChoice.BIG
+             else p.lwe_dimension)
+        return Ciphertext(lwe=trivial_lwe(msgs * delta_for(p), n, LOG_Q),
+                          degree=m - 1, message_modulus=m,
+                          carry_modulus=self.carry_modulus,
+                          noise_level=NoiseLevel.ZERO)
+
+    def unchecked_create_trivial(self, values) -> Ciphertext:
+        """Trivial over the full message+carry space (degree = p−1)."""
+        from ..core.algorithms import trivial_lwe
+        from ..core.params import EncryptionKeyChoice
+        from .client_key import delta_for
+        p = self.params
+        space = self.message_modulus * self.carry_modulus
+        msgs = jnp.asarray(values).astype(jnp.uint64) % jnp.uint64(space)
+        n = (p.glwe_dimension * p.polynomial_size
+             if p.encryption_key_choice == EncryptionKeyChoice.BIG
+             else p.lwe_dimension)
+        return Ciphertext(lwe=trivial_lwe(msgs * delta_for(p), n, LOG_Q),
+                          degree=space - 1, message_modulus=self.message_modulus,
+                          carry_modulus=self.carry_modulus,
+                          noise_level=NoiseLevel.ZERO)
+
+    # ------------------------------------------------------------------
+    # correcting-term subtraction (reference *_with_correcting_term,
+    # shortint/server_key/{sub,neg}.rs)
+    # ------------------------------------------------------------------
+
+    def unchecked_neg_with_correcting_term(self, a):
+        """→ (−a + z·Δ ciphertext, z) where z is the msg_mod multiple added
+        to keep the torus value positive."""
+        m = self.message_modulus
+        z = -(-(a.degree + 1) // m) * m
+        out = self.unchecked_neg(a)
+        return out, z
+
+    def unchecked_sub_with_correcting_term(self, a, b):
+        nb, z = self.unchecked_neg_with_correcting_term(b)
+        return self.unchecked_add(a, nb), z
+
+    def smart_sub_with_correcting_term(self, a, b):
+        if b.degree >= self.message_modulus:
+            b = self.message_extract(b)
+        nb, z = self.unchecked_neg_with_correcting_term(b)
+        if a.degree + nb.degree > self.max_degree:
+            a = self.message_extract(a)
+        return self.unchecked_add(a, nb), z
+
+    # ------------------------------------------------------------------
+    # multiplication family (reference mul.rs)
+    # ------------------------------------------------------------------
+
+    def checked_mul_lsb(self, a, b):
+        self._check_bivariate(a, b)
+        return self.unchecked_apply_lookup_table_bivariate(
+            a, b, self.generate_bivariate_lookup_table(
+                lambda x, y: (x * y) % self.message_modulus))
+
+    def smart_mul_lsb(self, a, b):
+        return self.unchecked_mul_lsb(a, b)
+
+    def smart_mul_msb(self, a, b):
+        return self.unchecked_mul_msb(a, b)
+
+    def mul_msb(self, a, b):
+        return self.unchecked_mul_msb(a, b)
+
+    def checked_mul_msb(self, a, b):
+        self._check_bivariate(a, b)
+        return self.unchecked_apply_lookup_table_bivariate(
+            a, b, self.generate_bivariate_lookup_table(
+                lambda x, y: (x * y) // self.message_modulus))
+
+    def unchecked_mul_lsb_small_carry(self, a, b):
+        """a·b mod m via the quarter-square identity
+        ((a+b)² − (a−b)²)/4 — two univariate PBS instead of one bivariate,
+        usable when carry_modulus < message_modulus (reference
+        unchecked_mul_lsb_small_carry_modulus_assign, mul.rs)."""
+        m = self.message_modulus
+        s = self.unchecked_add(a, b)
+        d, z = self.unchecked_sub_with_correcting_term(a, b)
+        w = 1 << 64
+        ls = self.evaluate_univariate(s, lambda x: (x * x) % w // 4 % m)
+        ld = self.evaluate_univariate(
+            d, lambda x: ((x - z) % w) ** 2 % w // 4 % m)
+        return self.unchecked_sub(ls, ld)
+
+    def checked_mul_lsb_with_small_carry(self, a, b):
+        if not self.is_mul_small_carry_possible(a, b):
+            raise ValueError("CarryFull: small-carry mul would overflow")
+        return self.unchecked_mul_lsb_small_carry(a, b)
+
+    # ------------------------------------------------------------------
+    # bitwise family (reference bitwise_op.rs)
+    # ------------------------------------------------------------------
+
+    def unchecked_bitand(self, a, b):
+        return self.unchecked_apply_lookup_table_bivariate(
+            a, b, self.generate_bivariate_lookup_table(lambda x, y: x & y))
+
+    def unchecked_bitor(self, a, b):
+        return self.unchecked_apply_lookup_table_bivariate(
+            a, b, self.generate_bivariate_lookup_table(lambda x, y: x | y))
+
+    def unchecked_bitxor(self, a, b):
+        return self.unchecked_apply_lookup_table_bivariate(
+            a, b, self.generate_bivariate_lookup_table(lambda x, y: x ^ y))
+
+    def checked_bitand(self, a, b):
+        self._check_bivariate(a, b)
+        return self.unchecked_bitand(a, b)
+
+    def checked_bitor(self, a, b):
+        self._check_bivariate(a, b)
+        return self.unchecked_bitor(a, b)
+
+    def checked_bitxor(self, a, b):
+        self._check_bivariate(a, b)
+        return self.unchecked_bitxor(a, b)
+
+    smart_bitand = bitand
+    smart_bitor = bitor
+    smart_bitxor = bitxor
+
+    def scalar_bitand(self, a, scalar: int):
+        return self.evaluate_univariate(a, lambda x: x & scalar)
+
+    def scalar_bitor(self, a, scalar: int):
+        m = self.message_modulus
+        return self.evaluate_univariate(a, lambda x: (x % m) | (scalar % m))
+
+    def scalar_bitxor(self, a, scalar: int):
+        m = self.message_modulus
+        return self.evaluate_univariate(a, lambda x: (x % m) ^ (scalar % m))
+
+    smart_scalar_bitand = scalar_bitand
+    smart_scalar_bitor = scalar_bitor
+    smart_scalar_bitxor = scalar_bitxor
+
+    # ------------------------------------------------------------------
+    # comparison family (reference comp_op.rs) — smart_* prepare operands,
+    # unchecked_* assume the bivariate domain fits, checked_* raise
+    # ------------------------------------------------------------------
+
+    def _cmp_lut(self, op):
+        return self.generate_bivariate_lookup_table(lambda x, y: int(op(x, y)))
+
+    def _unchecked_cmp(self, a, b, op):
+        return self.unchecked_apply_lookup_table_bivariate(a, b, self._cmp_lut(op))
+
+    def _checked_cmp(self, a, b, op):
+        self._check_bivariate(a, b)
+        return self._unchecked_cmp(a, b, op)
+
+    def unchecked_equal(self, a, b):
+        return self._unchecked_cmp(a, b, lambda x, y: x == y)
+
+    def unchecked_not_equal(self, a, b):
+        return self._unchecked_cmp(a, b, lambda x, y: x != y)
+
+    def unchecked_greater(self, a, b):
+        return self._unchecked_cmp(a, b, lambda x, y: x > y)
+
+    def unchecked_greater_or_equal(self, a, b):
+        return self._unchecked_cmp(a, b, lambda x, y: x >= y)
+
+    def unchecked_less(self, a, b):
+        return self._unchecked_cmp(a, b, lambda x, y: x < y)
+
+    def unchecked_less_or_equal(self, a, b):
+        return self._unchecked_cmp(a, b, lambda x, y: x <= y)
+
+    def checked_equal(self, a, b):
+        return self._checked_cmp(a, b, lambda x, y: x == y)
+
+    def checked_not_equal(self, a, b):
+        return self._checked_cmp(a, b, lambda x, y: x != y)
+
+    def checked_greater(self, a, b):
+        return self._checked_cmp(a, b, lambda x, y: x > y)
+
+    def checked_greater_or_equal(self, a, b):
+        return self._checked_cmp(a, b, lambda x, y: x >= y)
+
+    def checked_less(self, a, b):
+        return self._checked_cmp(a, b, lambda x, y: x < y)
+
+    def checked_less_or_equal(self, a, b):
+        return self._checked_cmp(a, b, lambda x, y: x <= y)
+
+    smart_equal = equal
+    smart_not_equal = not_equal
+    smart_greater = greater
+    smart_greater_or_equal = greater_or_equal
+    smart_less = less
+    smart_less_or_equal = less_or_equal
+
+    def scalar_greater_or_equal(self, a, scalar: int):
+        return self.evaluate_univariate(a, lambda x: int(x >= scalar))
+
+    def scalar_less_or_equal(self, a, scalar: int):
+        return self.evaluate_univariate(a, lambda x: int(x <= scalar))
+
+    def scalar_not_equal(self, a, scalar: int):
+        return self.evaluate_univariate(a, lambda x: int(x != scalar))
+
+    smart_scalar_equal = scalar_equal
+    smart_scalar_not_equal = scalar_not_equal
+    smart_scalar_greater = scalar_greater
+    smart_scalar_greater_or_equal = scalar_greater_or_equal
+    smart_scalar_less = scalar_less
+    smart_scalar_less_or_equal = scalar_less_or_equal
+
+    # ------------------------------------------------------------------
+    # division family (reference div_mod.rs)
+    # ------------------------------------------------------------------
+
+    def unchecked_div(self, a, b):
+        m = self.message_modulus
+        return self.unchecked_apply_lookup_table_bivariate(
+            a, b, self.generate_bivariate_lookup_table(
+                lambda x, y: (x // y) % m if y != 0 else m - 1))
+
+    smart_div = div
+
+    def unchecked_scalar_div(self, a, scalar: int):
+        if scalar == 0:
+            raise ZeroDivisionError("shortint scalar_div by zero")
+        return self.scalar_div(a, scalar)
+
+    def unchecked_scalar_mod(self, a, scalar: int):
+        if scalar == 0:
+            raise ZeroDivisionError("shortint scalar_mod by zero")
+        return self.scalar_mod(a, scalar)
+
+    # ------------------------------------------------------------------
+    # shift family (reference shift.rs) — left shift is a plain scalar
+    # multiply by 2^shift (degree grows into the carry); right shift is a LUT
+    # ------------------------------------------------------------------
+
+    def unchecked_scalar_left_shift(self, a, shift: int):
+        return self.unchecked_scalar_mul(a, 1 << shift)
+
+    def checked_scalar_left_shift(self, a, shift: int):
+        if not self.is_scalar_left_shift_possible(a, shift):
+            raise ValueError("CarryFull: left shift would overflow")
+        return self.unchecked_scalar_left_shift(a, shift)
+
+    def smart_scalar_left_shift(self, a, shift: int):
+        if not self.is_scalar_left_shift_possible(a, shift):
+            a = self.message_extract(a)
+        if not self.is_scalar_left_shift_possible(a, shift):
+            m = self.message_modulus
+            return self.evaluate_univariate(a, lambda x: (x << shift) % m)
+        return self.unchecked_scalar_left_shift(a, shift)
+
+    def unchecked_scalar_right_shift(self, a, shift: int):
+        out = self.evaluate_univariate(a, lambda x: x >> shift)
+        return out.with_(degree=a.degree >> shift)
+
+    smart_scalar_right_shift = unchecked_scalar_right_shift
+
+    # ------------------------------------------------------------------
+    # misc parity accessors (reference mod.rs:300-370)
+    # ------------------------------------------------------------------
+
+    def evaluate_msg_univariate(self, ct, f):
+        """LUT of f mod msg_mod (reference evaluate_msg_univariate_function)."""
+        return self.apply_lookup_table(ct, self.generate_msg_lookup_table(f))
+
+    def deterministic_pbs_execution(self) -> bool:
+        """Always True on TPU: every path is deterministic by construction
+        (reference toggles a multi-bit thread-pool mode, mod.rs:253-270)."""
+        return True
+
+    def set_deterministic_pbs_execution(self, det: bool) -> None:
+        if not det:
+            raise ValueError("non-deterministic PBS does not exist on TPU")
+
+    def bootstrapping_key_size_elements(self) -> int:
+        import math
+        return math.prod(self.bsk.data.shape)
+
+    def bootstrapping_key_size_bytes(self) -> int:
+        return self.bootstrapping_key_size_elements() * self.bsk.data.dtype.itemsize
+
+    def key_switching_key_size_elements(self) -> int:
+        import math
+        return math.prod(self.ksk.data.shape)
+
+    def key_switching_key_size_bytes(self) -> int:
+        return self.key_switching_key_size_elements() * self.ksk.data.dtype.itemsize
+
 
 def gen_server_key(ck: ClientKey, key) -> ServerKey:
     """BSK (small→GLWE, classic or multi-bit per the parameter set) + KSK
