@@ -111,3 +111,31 @@ def test_signed_scalar_comparisons(skeys):
                    (sk.scalar_gt_signed, np.greater), (sk.scalar_ge_signed, np.greater_equal)]:
         got = ck.decrypt_bool(fn(ca, -2))
         np.testing.assert_array_equal(got, op(A, -2))
+
+
+def test_signed_div_rem(skeys):
+    ck, sk = skeys
+    a = np.array([-7, -7, 7, 7, -8, 5])
+    b = np.array([2, -2, -2, 2, 3, -5])
+    ca = ck.encrypt_signed(jnp.asarray(a), seed=21)
+    cb = ck.encrypt_signed(jnp.asarray(b), seed=22)
+    q, r = sk.signed_div_rem(ca, cb)
+    # truncating semantics (like Rust's / and %)
+    expect_q = np.fix(a / b).astype(np.int64)
+    expect_r = a - expect_q * b
+    np.testing.assert_array_equal(ck.decrypt_signed(q), expect_q)
+    np.testing.assert_array_equal(ck.decrypt_signed(r), expect_r)
+    # the generic div_rem dispatches signed operands
+    q2, _ = sk.div_rem(ca, cb)
+    np.testing.assert_array_equal(ck.decrypt_signed(q2), expect_q)
+
+
+def test_signed_div_rem_floor(skeys):
+    ck, sk = skeys
+    a = np.array([-7, -7, 7, 7, 6])
+    b = np.array([2, -2, -2, 2, 3])
+    ca = ck.encrypt_signed(jnp.asarray(a), seed=23)
+    cb = ck.encrypt_signed(jnp.asarray(b), seed=24)
+    q, r = sk.signed_div_rem_floor(ca, cb)
+    np.testing.assert_array_equal(ck.decrypt_signed(q), a // b)
+    np.testing.assert_array_equal(ck.decrypt_signed(r), a % b)

@@ -49,6 +49,16 @@ def config_builder_default() -> tuple[int, int]:
     return OK, _new(hlapi.ConfigBuilder.default())
 
 
+def config_builder_custom(name: str) -> tuple[int, int]:
+    """reference ConfigBuilder::use_custom_parameters; also accepts
+    TEST_PARAMS_SHORTINT (tiny insecure set) for FFI smoke tests."""
+    try:
+        cfg = hlapi.ConfigBuilder().use_custom_parameters(name).build()
+        return OK, _new(cfg)
+    except Exception:
+        return ERR, 0
+
+
 def generate_keys(config_handle: int, seed: int = 0) -> tuple[int, int, int]:
     try:
         ck, sk = hlapi.generate_keys(_get(config_handle), seed=seed)

@@ -282,6 +282,8 @@ def shortint_params(name: str):
     for t in (SHORTINT_CLASSIC, SHORTINT_MULTIBIT, SHORTINT_COMPACT_PK):
         if name in t:
             return t[name]
+    if name == "TEST_PARAMS_SHORTINT":   # tiny insecure set for FFI/CI smoke
+        return TEST_PARAMS_SHORTINT
     raise KeyError(name)
 
 

@@ -706,10 +706,14 @@ class ServerKey:
         return [out[i % bits_pb][i // bits_pb] for i in range(total)]
 
     def div_rem(self, a: RadixCiphertext, b: RadixCiphertext):
-        """(quotient, remainder); x/0 follows the reference convention of
+        """(quotient, remainder); dispatches signed operands to the
+        sign-corrected divider like the reference's generic
+        div_rem_parallelized (div_mod.rs:597).  x/0 follows the reference convention of
         returning all-ones quotient and x as remainder is NOT emulated —
         division by an encrypted zero yields quotient with every ge-test
         false (quotient 0, remainder a), matching restoring division."""
+        if isinstance(a, SignedRadixCiphertext):
+            return self.signed_div_rem(a, b)
         a, b = self._maybe_propagate(a), self._maybe_propagate(b)
         nb = a.num_blocks
         bits_pb = int(math.log2(self.msg_mod))
@@ -750,6 +754,68 @@ class ServerKey:
     div_parallelized = div
     rem_parallelized = rem
     div_rem_parallelized = div_rem
+
+    # ------------------------------------------------------------------
+    # signed encrypted division
+    # ------------------------------------------------------------------
+
+    def _pack2_bool(self, x: Block, y: Block, f) -> Block:
+        """LUT over two degree-1 blocks packed as 2x+y (needs
+        max_degree ≥ 3, true for every parameter set with carries)."""
+        packed = x.with_(
+            lwe=LweCiphertext(data=x.lwe.data * jnp.uint64(2) + y.lwe.data),
+            degree=2 * x.degree + y.degree,
+            noise_level=2 * x.noise_level + y.noise_level)
+        lut = self.key.generate_lookup_table(
+            lambda v: int(f((v >> 1) & 1, v & 1)))
+        return self.key.apply_lookup_table(packed, lut)
+
+    def signed_div_rem(self, a: SignedRadixCiphertext,
+                       b: SignedRadixCiphertext):
+        """Truncating division of two encrypted signed radix values: |a|/|b|
+        through the unsigned restoring divider, then sign fix-up — the
+        quotient is negated iff the operand signs differ, the remainder
+        takes the numerator's sign (reference
+        signed_unchecked_div_rem_parallelized,
+        integer/server_key/radix_parallel/div_mod.rs:494-560)."""
+        a, b = self._maybe_propagate(a), self._maybe_propagate(b)
+        sa, sb = self._sign_bit(a), self._sign_bit(b)
+        abs_a = RadixCiphertext(blocks=self.cmux(sa, self.neg(a), a).blocks)
+        abs_b = RadixCiphertext(blocks=self.cmux(sb, self.neg(b), b).blocks)
+        q_u, r_u = self.div_rem(abs_a, abs_b)
+        differ = BooleanBlock(block=self._pack2_bool(
+            sa.block, sb.block, lambda x, y: x != y))
+        q = self.cmux(differ, self.neg(q_u), q_u)
+        r = self.cmux(sa, self.neg(r_u), r_u)
+        return (SignedRadixCiphertext(blocks=q.blocks),
+                SignedRadixCiphertext(blocks=r.blocks))
+
+    def signed_div(self, a, b):
+        return self.signed_div_rem(a, b)[0]
+
+    def signed_rem(self, a, b):
+        return self.signed_div_rem(a, b)[1]
+
+    def signed_div_rem_floor(self, a: SignedRadixCiphertext,
+                             b: SignedRadixCiphertext):
+        """Floor division: q_f = q_t − 1 and r_f = r_t + b exactly when the
+        truncating remainder is non-zero and the operand signs differ
+        (reference unchecked_div_rem_floor_parallelized,
+        integer/server_key/radix_parallel/div_mod.rs)."""
+        a, b = self._maybe_propagate(a), self._maybe_propagate(b)
+        q, r = self.signed_div_rem(a, b)
+        sa, sb = self._sign_bit(a), self._sign_bit(b)
+        differ = self._pack2_bool(sa.block, sb.block, lambda x, y: x != y)
+        zero = self.create_trivial_zero_radix(r.num_blocks, r.batch_shape)
+        nonzero = self.ne(RadixCiphertext(blocks=r.blocks), zero)
+        adjust = BooleanBlock(block=self._pack2_bool(
+            differ, nonzero.block, lambda x, y: bool(x) and bool(y)))
+        q_f = self.cmux(adjust, self.scalar_sub(q, 1), q)
+        r_f = self.cmux(adjust, self.add(r, b), r)
+        return q_f, r_f
+
+    div_rem_floor = signed_div_rem_floor
+    unchecked_div_rem_floor_parallelized = signed_div_rem_floor
 
     # ------------------------------------------------------------------
     # shifts by a clear amount

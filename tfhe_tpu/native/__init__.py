@@ -91,3 +91,28 @@ def backend() -> str:
     """Live AES backend: "aesni" (hardware, runtime-detected) or "soft"
     (reference analogue: concrete-csprng's aesni/soft implems, §2.1)."""
     return "aesni" if _lib().csprng_backend() == 1 else "soft"
+
+
+# -- C API shared library (reference: tfhe/src/c_api + cbindgen tfhe.h) -----
+
+_CAPI_SO = _DIR / "libtfhe_tpu_capi.so"
+
+
+def build_capi() -> Path:
+    """Build libtfhe_tpu_capi.so (C ABI over the HLAPI, embeds CPython).
+    Header: native/include/tfhe_tpu.h; C client example/test:
+    tests/c_api/test_high_level_integers.c."""
+    import sysconfig
+    if _CAPI_SO.exists() and _CAPI_SO.stat().st_mtime > (
+            _DIR / "capi.cpp").stat().st_mtime:
+        return _CAPI_SO
+    inc = sysconfig.get_paths()["include"]
+    ver = sysconfig.get_config_var("LDVERSION")
+    libdir = sysconfig.get_config_var("LIBDIR")
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", str(_DIR / "capi.cpp"),
+         f"-I{inc}", f"-I{_DIR / 'include'}",
+         f"-L{libdir}", f"-Wl,-rpath,{libdir}", f"-lpython{ver}",
+         "-o", str(_CAPI_SO)],
+        check=True, capture_output=True)
+    return _CAPI_SO

@@ -1,0 +1,223 @@
+// C ABI over the tfhe_tpu high-level API (reference: tfhe/src/c_api/,
+// whose cbindgen-generated tfhe.h is consumed by tfhe/c_api_tests/*.c).
+//
+// The reference's C API wraps a Rust library; here the host library is
+// Python/JAX, so the shim embeds CPython and dispatches every call to the
+// flat opaque-handle surface in tfhe_tpu/capi.py.  Handles are the Python
+// side's integer handles passed through verbatim.  All compute still runs
+// under JAX (TPU when attached).
+//
+// Build (see tfhe_tpu/native/__init__.py build_capi):
+//   g++ -O2 -shared -fPIC capi.cpp $(python3-config --includes) \
+//       $(python3-config --embed --ldflags) -o libtfhe_tpu_capi.so
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdlib>
+#include <cstring>
+#include <string>
+
+#include "include/tfhe_tpu.h"
+
+namespace {
+
+PyObject *g_mod = nullptr;       // tfhe_tpu.capi module
+bool g_we_initialized = false;   // whether WE called Py_Initialize
+std::string g_err = "no error";
+
+struct Gil {
+  PyGILState_STATE st;
+  Gil() : st(PyGILState_Ensure()) {}
+  ~Gil() { PyGILState_Release(st); }
+};
+
+void capture_py_error() {
+  PyObject *type = nullptr, *value = nullptr, *tb = nullptr;
+  PyErr_Fetch(&type, &value, &tb);
+  if (value) {
+    PyObject *s = PyObject_Str(value);
+    if (s) {
+      g_err = PyUnicode_AsUTF8(s);
+      Py_DECREF(s);
+    }
+  } else {
+    g_err = "unknown python error";
+  }
+  Py_XDECREF(type);
+  Py_XDECREF(value);
+  Py_XDECREF(tb);
+}
+
+// Unpack a (status, value...) tuple from capi.py; writes up to two u64s.
+tfhe_status unpack(PyObject *res, uint64_t *out1, uint64_t *out2 = nullptr) {
+  if (!res) {
+    capture_py_error();
+    return 1;
+  }
+  tfhe_status st = 0;
+  if (PyTuple_Check(res)) {
+    st = (tfhe_status)PyLong_AsLong(PyTuple_GetItem(res, 0));
+    if (st == 0 && out1) {
+      *out1 = PyLong_AsUnsignedLongLong(PyTuple_GetItem(res, 1));
+    }
+    if (st == 0 && out2) {
+      *out2 = PyLong_AsUnsignedLongLong(PyTuple_GetItem(res, 2));
+    }
+  } else {
+    st = (tfhe_status)PyLong_AsLong(res);  // plain int status
+  }
+  Py_DECREF(res);
+  if (st != 0) g_err = "tfhe_tpu.capi returned error status";
+  return st;
+}
+
+}  // namespace
+
+extern "C" {
+
+tfhe_status tfhe_tpu_init(void) {
+  if (g_mod) return 0;
+  if (!Py_IsInitialized()) {
+    Py_InitializeEx(0);
+    g_we_initialized = true;
+  }
+  Gil gil;
+  // the library may be loaded from anywhere; make the repo (cwd) importable
+  PyRun_SimpleString("import sys, os\n"
+                     "if os.getcwd() not in sys.path:\n"
+                     "    sys.path.insert(0, os.getcwd())\n");
+  g_mod = PyImport_ImportModule("tfhe_tpu.capi");
+  if (!g_mod) {
+    capture_py_error();
+    return 1;
+  }
+  return 0;
+}
+
+tfhe_status tfhe_tpu_shutdown(void) {
+  if (g_mod) {
+    Gil gil;
+    Py_DECREF(g_mod);
+    g_mod = nullptr;
+  }
+  // Finalizing an embedded CPython with live JAX runtimes is unreliable;
+  // like most embedders we leave the interpreter up for process lifetime.
+  return 0;
+}
+
+const char *tfhe_tpu_last_error(void) { return g_err.c_str(); }
+
+tfhe_status tfhe_config_builder_default(tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "config_builder_default", nullptr),
+                out);
+}
+
+tfhe_status tfhe_config_builder_custom(const char *name, tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "config_builder_custom", "s", name),
+                out);
+}
+
+tfhe_status tfhe_generate_keys(tfhe_handle config, uint64_t seed,
+                               tfhe_handle *client_key,
+                               tfhe_handle *server_key) {
+  Gil gil;
+  return unpack(
+      PyObject_CallMethod(g_mod, "generate_keys", "KK", config, seed),
+      client_key, server_key);
+}
+
+tfhe_status tfhe_set_server_key(tfhe_handle server_key) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "set_server_key", "K", server_key),
+                nullptr);
+}
+
+tfhe_status tfhe_destroy(tfhe_handle h) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "destroy", "K", h), nullptr);
+}
+
+tfhe_status tfhe_fheuint8_try_encrypt_with_client_key_u8(uint8_t value,
+                                                         tfhe_handle ck,
+                                                         tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(
+                    g_mod, "fheuint8_try_encrypt_with_client_key", "KK",
+                    (uint64_t)value, ck),
+                out);
+}
+
+tfhe_status tfhe_fheuint8_decrypt(tfhe_handle ct, tfhe_handle ck,
+                                  uint8_t *out) {
+  Gil gil;
+  uint64_t v = 0;
+  tfhe_status st = unpack(
+      PyObject_CallMethod(g_mod, "fheuint8_decrypt", "KK", ct, ck), &v);
+  if (st == 0 && out) *out = (uint8_t)v;
+  return st;
+}
+
+#define TFHE_BINOP(cname, pyname)                                             \
+  tfhe_status cname(tfhe_handle lhs, tfhe_handle rhs, tfhe_handle *out) {     \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(g_mod, pyname, "KK", lhs, rhs), out);   \
+  }
+
+TFHE_BINOP(tfhe_fheuint8_add, "fheuint8_add")
+TFHE_BINOP(tfhe_fheuint8_sub, "fheuint8_sub")
+TFHE_BINOP(tfhe_fheuint8_mul, "fheuint8_mul")
+TFHE_BINOP(tfhe_fheuint8_bitand, "fheuint8_bitand")
+TFHE_BINOP(tfhe_fheuint8_bitor, "fheuint8_bitor")
+TFHE_BINOP(tfhe_fheuint8_bitxor, "fheuint8_bitxor")
+TFHE_BINOP(tfhe_fheuint8_eq, "fheuint8_eq")
+TFHE_BINOP(tfhe_fheuint8_le, "fheuint8_le")
+
+#undef TFHE_BINOP
+
+tfhe_status tfhe_fheuint8_scalar_add(tfhe_handle lhs, uint8_t scalar,
+                                     tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "fheuint8_scalar_add", "KK", lhs,
+                                    (uint64_t)scalar),
+                out);
+}
+
+tfhe_status tfhe_serialize(tfhe_handle h, uint8_t **out, size_t *len) {
+  Gil gil;
+  PyObject *res = PyObject_CallMethod(g_mod, "serialize", "K", h);
+  if (!res) {
+    capture_py_error();
+    return 1;
+  }
+  tfhe_status st = (tfhe_status)PyLong_AsLong(PyTuple_GetItem(res, 0));
+  if (st == 0) {
+    PyObject *bytes = PyTuple_GetItem(res, 1);
+    char *buf = nullptr;
+    Py_ssize_t n = 0;
+    if (PyBytes_AsStringAndSize(bytes, &buf, &n) == 0) {
+      *out = (uint8_t *)std::malloc(n);
+      std::memcpy(*out, buf, n);
+      *len = (size_t)n;
+    } else {
+      capture_py_error();
+      st = 1;
+    }
+  }
+  Py_DECREF(res);
+  return st;
+}
+
+tfhe_status tfhe_deserialize_fheuint8(const uint8_t *data, size_t len,
+                                      tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "deserialize_fheuint8", "y#",
+                                    (const char *)data, (Py_ssize_t)len),
+                out);
+}
+
+void tfhe_buffer_destroy(uint8_t *buf) { std::free(buf); }
+
+}  // extern "C"

@@ -148,6 +148,24 @@ class ServerKey:
         m = self.message_modulus
         return self.generate_lookup_table(lambda x: f(x // m, x % m))
 
+    def generate_lookup_table_bivariate_with_factor(
+            self, f: Callable[[int, int], int], factor: int) -> LookupTable:
+        """LUT over (left * factor + right) where factor may be smaller than
+        msg_mod — lets a degree-bounded right operand pack more tightly
+        (reference generate_lookup_table_bivariate_with_factor,
+        shortint/server_key/bivariate_pbs.rs)."""
+        return self.generate_lookup_table(lambda x: f(x // factor, x % factor))
+
+    def unchecked_bivariate_pack_with_factor(self, left: Ciphertext,
+                                             right: Ciphertext,
+                                             factor: int) -> Ciphertext:
+        """left * factor + right — requires right.degree < factor and
+        left.degree * factor + right.degree ≤ max_degree."""
+        data = left.lwe.data * jnp.uint64(factor) + right.lwe.data
+        return left.with_(lwe=LweCiphertext(data=data),
+                          degree=left.degree * factor + right.degree,
+                          noise_level=left.noise_level * factor + right.noise_level)
+
     def unchecked_apply_lookup_table_bivariate(self, left: Ciphertext,
                                                right: Ciphertext,
                                                lut: LookupTable) -> Ciphertext:
@@ -711,6 +729,26 @@ class ServerKey:
 
     def key_switching_key_size_bytes(self) -> int:
         return self.key_switching_key_size_elements() * self.ksk.data.dtype.itemsize
+
+    # parameter accessors (reference shortint/server_key/mod.rs) -----------
+
+    def input_lwe_dimension(self) -> int:
+        return self.params.lwe_dimension
+
+    def output_lwe_dimension(self) -> int:
+        return self.params.glwe_dimension * self.params.polynomial_size
+
+    def glwe_size(self) -> int:
+        return self.params.glwe_dimension + 1
+
+    def polynomial_size(self) -> int:
+        return self.params.polynomial_size
+
+    def decomposition_base_log(self) -> int:
+        return self.params.pbs_base_log
+
+    def decomposition_level_count(self) -> int:
+        return self.params.pbs_level
 
 
 def gen_server_key(ck: ClientKey, key) -> ServerKey:
