@@ -1074,7 +1074,8 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                               decomp: DecompParams, primes, log_q: int = 64,
                               grouping: int = 1, mode: str = "delta",
                               bt: int = 8, interpret: bool = False,
-                              ablate: frozenset = frozenset(), spc: int = 1):
+                              ablate: frozenset = frozenset(), spc: int = 1,
+                              loop_steps: int = 0):
     """WHOLE blind rotation as one kernel: grid (batch tiles, steps).
 
     Per batch tile the accumulator lives in the OUTPUT block, which stays
@@ -1352,7 +1353,95 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                 out_lo_ref[:, r] = d_lo
                 out_hi_ref[:, r] = d_hi
 
-    return kernel
+    if not loop_steps:
+        return kernel
+
+    # ---- loop variant: steps ride an in-kernel fori_loop, not the grid ----
+    # The grid collapses to batch tiles only; the per-grid-cell Mosaic
+    # iteration overhead (~2.4 µs x 742 steps x batch tiles — the measured
+    # ~116 ms "floor" at batch 512, docs/PERFORMANCE.md) is paid once per
+    # TILE instead of once per step.  The BSK stays in HBM (ANY space) and
+    # each step's slice is manually double-buffered: slot 0/1 VMEM scratch,
+    # one DMA semaphore per slot so a wait can never be satisfied by the
+    # other slot's completions.  Each fori iteration runs TWO steps with
+    # static slot numbers, so every buffer index in the compute body stays
+    # static.
+    n_steps = loop_steps
+    assert n_steps % 2 == 0
+
+    def kernel_loop(idx_ref, acc_hi_in, acc_lo_in, bsk_any, bsk_sh_any,
+                    tab_ref, tab_sh_ref,
+                    wfa_ref, ca_ref, da_ref, tf_ref, tf_sh_ref, wfb_ref,
+                    cb_ref, wia_ref, cia_ref, ti_ref, ti_sh_ref, wib_ref,
+                    cib_ref, dib_ref, out_hi_ref, out_lo_ref,
+                    bsk_buf, bsk_sh_buf, ph_vmem, ph_sh_vmem,
+                    sem_b0, sem_b1, sem_p0, sem_p1):
+        rows = bt * n1
+
+        def step_copies(j, slot, start):
+            """Issue (start=True) or rebuild-for-wait (start=False) the DMAs
+            feeding step j into buffer slot `slot`.  Waits only need dst+sem,
+            so rebuilding the descriptors next iteration is sound."""
+            s32 = np.int32(slot)
+            sem_b = (sem_b0, sem_b1)[slot]
+            sem_p = (sem_p0, sem_p1)[slot]
+            cs = []
+            for src, dst in ((bsk_any, bsk_buf), (bsk_sh_any, bsk_sh_buf)):
+                c = pltpu.make_async_copy(src.at[j], dst.at[s32], sem_b)
+                if start:
+                    c.start()
+                cs.append(c)
+            if "phase" not in ablate:
+                for b in range(bt):
+                    for v in range(NV):
+                        e = (idx_ref[b, j] if NV == 1 else
+                             idx_ref[b * NV + v, j])
+                        b32, v32 = np.int32(b), np.int32(v)
+                        dst = (ph_vmem.at[s32, b32] if NV == 1 else
+                               ph_vmem.at[s32, b32, v32])
+                        dsh = (ph_sh_vmem.at[s32, b32] if NV == 1 else
+                               ph_sh_vmem.at[s32, b32, v32])
+                        c1 = pltpu.make_async_copy(tab_ref.at[e], dst, sem_p)
+                        c2 = pltpu.make_async_copy(tab_sh_ref.at[e], dsh,
+                                                   sem_p)
+                        if start:
+                            c1.start()
+                            c2.start()
+                        cs += [c1, c2]
+            return cs
+
+        out_hi_ref[...] = acc_hi_in[...]
+        out_lo_ref[...] = acc_lo_in[...]
+        step_copies(np.int32(0), 0, start=True)
+        n_iters = np.int32(n_steps // 2)
+
+        def run(sub, waits):
+            _do_step(sub, waits, bsk_buf, bsk_sh_buf,
+                     wfa_ref, ca_ref, da_ref, tf_ref, tf_sh_ref, wfb_ref,
+                     cb_ref, wia_ref, cia_ref, ti_ref, ti_sh_ref, wib_ref,
+                     cib_ref, dib_ref, out_hi_ref, out_lo_ref,
+                     ph_vmem, ph_sh_vmem, rows)
+
+        def body(i):
+            a = i * np.int32(2)
+            b = a + np.int32(1)
+            step_copies(b, 1, start=True)          # overlaps compute of a
+            run(0, step_copies(a, 0, start=False))
+
+            @pl.when(i + np.int32(1) < n_iters)
+            def _prefetch():                       # overlaps compute of b
+                step_copies(a + np.int32(2), 0, start=True)
+
+            run(1, step_copies(b, 1, start=False))
+            return i + np.int32(1)
+
+        # while_loop, not fori_loop: fori with concrete bounds lowers to a
+        # scan whose counter is i64 under x64 mode, and Mosaic's i64 convert
+        # lowering recurses (CLAUDE.md gotcha).  The while carry keeps the
+        # i32 dtype it is given.
+        jax.lax.while_loop(lambda i: i < n_iters, body, np.int32(0))
+
+    return kernel_loop
 
 
 def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
@@ -1437,6 +1526,11 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
         spc = int(os.environ.get("TFHE_TPU_STEPS_PER_CELL", "1"))
     if spc < 1 or n_steps % spc != 0:
         spc = 1
+    # Opt-in (measured SLOWER: 762 vs 830 PBS/s classic batch 512 — the
+    # while-loop's per-iteration semaphore waits and lost cross-cell Mosaic
+    # pipelining outweigh the removed grid-cell overhead; docs/PERFORMANCE.md)
+    use_loop = (os.environ.get("TFHE_TPU_ROTATION_LOOP", "0") == "1"
+                and n_steps % 2 == 0 and spc == 1)
 
     plan = get_plan(n, num_primes)
     primes = [int(p) for p in plan.primes]
@@ -1445,25 +1539,33 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     kernel = _make_rotation_kernel_mxu(n, num_primes, glwe_size, decomp,
                                        primes, log_q, grouping=grouping,
                                        mode=mode, bt=bt, interpret=interpret,
-                                       ablate=ablate, spc=spc)
+                                       ablate=ablate, spc=spc,
+                                       loop_steps=n_steps if use_loop else 0)
 
-    grid = (B // bt, n_steps // spc)
+    grid = (B // bt,) if use_loop else (B // bt, n_steps // spc)
     vm = pltpu.VMEM
     zero = np.int32(0)
+    nmaps = len(grid)
 
     def bcast(shape):
-        return pl.BlockSpec(shape, lambda i, j, _z=zero, _r=len(shape):
+        return pl.BlockSpec(shape, lambda *a, _z=zero, _r=len(shape):
                             (_z,) * _r, memory_space=vm)
 
     def tiled(shape):
         return pl.BlockSpec((bt,) + shape[1:],
-                            lambda i, j, _z=zero, _r=len(shape) - 1:
+                            lambda i, *a, _z=zero, _r=len(shape) - 1:
                             (i,) + (_z,) * _r, memory_space=vm)
 
-    bsk_spec = pl.BlockSpec((spc,) + bsk_u32.shape[1:],
-                            lambda i, j, _z=zero, _r=bsk_u32.ndim - 1:
-                            (j,) + (_z,) * _r, memory_space=vm)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if use_loop:
+        bsk_spec = any_spec
+        idx_spec = pl.BlockSpec(idx_spec.block_shape,
+                                lambda i, _z=np.int32(0): (i, _z),
+                                memory_space=pltpu.SMEM)
+    else:
+        bsk_spec = pl.BlockSpec((spc,) + bsk_u32.shape[1:],
+                                lambda i, j, _z=zero, _r=bsk_u32.ndim - 1:
+                                (j,) + (_z,) * _r, memory_space=vm)
     # the rotation kernel rides all J transforms on the lane axis: the
     # middle twiddle is lane-tiled J-wide (transform-independent values)
     J = decomp.level * glwe_size
@@ -1477,17 +1579,25 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     out_specs = (tiled(acc_hi.shape), tiled(acc_lo.shape))
     out_shape = (jax.ShapeDtypeStruct(acc_hi.shape, jnp.uint32),
                  jax.ShapeDtypeStruct(acc_lo.shape, jnp.uint32))
-    ph_shape = ((spc, bt, num_primes, n1, n2) if mode == "delta" else
-                (spc, bt, NV, num_primes, n1, n2))
-    scratch = [pltpu.VMEM(ph_shape, jnp.uint32),
-               pltpu.VMEM(ph_shape, jnp.uint32),
-               pltpu.SemaphoreType.DMA]
+    ph_lead = (2,) if use_loop else (spc,)
+    ph_shape = (ph_lead + (bt, num_primes, n1, n2) if mode == "delta" else
+                ph_lead + (bt, NV, num_primes, n1, n2))
+    if use_loop:
+        scratch = [pltpu.VMEM((2,) + bsk_u32.shape[1:], jnp.uint32),
+                   pltpu.VMEM((2,) + bsk_u32.shape[1:], jnp.uint32),
+                   pltpu.VMEM(ph_shape, jnp.uint32),
+                   pltpu.VMEM(ph_shape, jnp.uint32)] + \
+                  [pltpu.SemaphoreType.DMA] * 4
+    else:
+        scratch = [pltpu.VMEM(ph_shape, jnp.uint32),
+                   pltpu.VMEM(ph_shape, jnp.uint32),
+                   pltpu.SemaphoreType.DMA]
     acc_hi_r, acc_lo_r = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary",) * nmaps),
     )(idx2d, acc_hi, acc_lo, bsk_u32, bsk_sh_u32, mono_tab, mono_sh,
       *(jnp.asarray(t) for t in tables))
 
