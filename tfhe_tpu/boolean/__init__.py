@@ -243,6 +243,9 @@ def xor_(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
     return _gate(sk, LweCiphertext(data=data))
 
 
+xor = xor_   # `xor` is not a Python keyword — offer the reference's name too
+
+
 def xnor(sk: ServerKey, a: BoolCiphertext, b: BoolCiphertext) -> BoolCiphertext:
     data = a.lwe.data + b.lwe.data
     data = data.at[..., -1].add(plaintext_true(sk.params))

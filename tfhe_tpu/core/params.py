@@ -275,6 +275,8 @@ for _t in (BOOLEAN, SHORTINT_CLASSIC, SHORTINT_MULTIBIT, SHORTINT_COMPACT_PK,
 
 
 def boolean_params(name: str) -> BooleanParameters:
+    if name == "TEST_PARAMS_BOOLEAN":    # tiny insecure set (CI/doc tests)
+        return TEST_PARAMS_BOOLEAN
     return BOOLEAN[name]
 
 
@@ -292,6 +294,8 @@ def wopbs_params(name: str) -> WopbsParameters:
 
 
 def gadget_params(name: str) -> GadgetParameters:
+    if name == "TEST_PARAMS_GADGET":     # tiny insecure set (CI/doc tests)
+        return TEST_PARAMS_GADGET
     return GADGET[name]
 
 
