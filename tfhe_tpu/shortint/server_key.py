@@ -707,6 +707,18 @@ class ServerKey:
         """LUT of f mod msg_mod (reference evaluate_msg_univariate_function)."""
         return self.apply_lookup_table(ct, self.generate_msg_lookup_table(f))
 
+    evaluate_msg_univariate_function = evaluate_msg_univariate
+
+    # smart scalar comparisons: operands are immutable pytrees here, so the
+    # reference's smart_* (clean-in-place-then-compare) collapses onto the
+    # default family (which bootstraps internally when needed)
+    smart_scalar_equal = scalar_equal
+    smart_scalar_not_equal = scalar_not_equal
+    smart_scalar_greater = scalar_greater
+    smart_scalar_greater_or_equal = scalar_greater_or_equal
+    smart_scalar_less = scalar_less
+    smart_scalar_less_or_equal = scalar_less_or_equal
+
     def deterministic_pbs_execution(self) -> bool:
         """Always True on TPU: every path is deterministic by construction
         (reference toggles a multi-bit thread-pool mode, mod.rs:253-270)."""

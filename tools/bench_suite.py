@@ -165,7 +165,13 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
         ca = _radix_from(ad, a)
         cb = _radix_from(bd, b)
         if op == "uint32_add":
-            return _stack(key.add_parallelized(ca, cb))
+            # sequential ripple (reference full_propagate), NOT the
+            # Hillis-Steele scan: on throughput-bound hardware the scan's
+            # n·log n PBS (112/add) loses to the ripple's 2n (32/add); the
+            # batch axis keeps every ripple step a full PBS batch anyway
+            # (the scan remains the right choice for single-op latency —
+            # reference add_parallelized vs *_work_efficient tradeoff)
+            return _stack(key.add(ca, cb))
         if op == "uint32_mul":
             return _stack(key.mul(ca, cb))
         if op == "uint32_bitand":
@@ -203,7 +209,8 @@ def main():
                     help="tiny insecure sets + CPU (harness smoke test)")
     args = ap.parse_args()
     batch = args.batch or (512 if args.op in ("boolean_gate", "shortint_add")
-                           else 32)
+                           else 256 if args.op == "uint32_add"   # ripple:
+                           else 32)   # 2 luts x 256 ops = one full PBS batch
 
     t0 = time.time()
     kw = {}
