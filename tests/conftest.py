@@ -9,8 +9,18 @@ Must run before any jax computation: forces the CPU platform (the axon TPU
 plugin registers itself via sitecustomize) and 8 virtual devices.
 """
 import os
+import resource
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+# XLA's CPU compiler sporadically SEGFAULTs on deep graphs (vmapped threefry
+# keygen) with the default 8 MB thread stack; compile threads inherit
+# RLIMIT_STACK at creation, so raise it before jax spins any up.
+try:
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+except (ValueError, OSError):
+    pass
 
 import jax  # noqa: E402
 
@@ -19,6 +29,17 @@ jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA's CPU backend segfaults in backend_compile once enough compiled
+    programs accumulate in one process (deterministic: a fresh large compile
+    right after the trivium module dies; the same compile in a fresh process
+    is fine).  Dropping the jit caches between modules keeps the long
+    single-process suite (`pytest tests/ -x -q`) under the threshold."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
