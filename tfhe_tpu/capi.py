@@ -51,8 +51,13 @@ def config_builder_default() -> tuple[int, int]:
 
 def config_builder_custom(name: str) -> tuple[int, int]:
     """reference ConfigBuilder::use_custom_parameters; also accepts
-    TEST_PARAMS_SHORTINT (tiny insecure set) for FFI smoke tests."""
+    TEST_PARAMS_SHORTINT (tiny insecure set) for FFI smoke tests.
+    Validates the parameter-set name eagerly so an unknown name returns ERR
+    here rather than surfacing later at tfhe_generate_keys."""
     try:
+        if name != "TEST_PARAMS_SHORTINT":
+            from .core.params import shortint_params
+            shortint_params(name)  # raises on unknown name
         cfg = hlapi.ConfigBuilder().use_custom_parameters(name).build()
         return OK, _new(cfg)
     except Exception:

@@ -29,6 +29,27 @@ def set_use_pallas_pbs(flag: bool):
     _USE_PALLAS = bool(flag)
 
 
+_PALLAS_INTERPRET: Optional[bool] = None
+
+
+def pallas_interpret() -> bool:
+    """Run Pallas kernels in interpret mode (CPU emulation of the Mosaic
+    kernel).  Lets the real kernel path — not just the XLA fallback — be
+    exercised on the virtual CPU mesh in sharding tests.  Default False.
+    Override with set_pallas_interpret or TFHE_TPU_PALLAS_INTERPRET=0/1."""
+    global _PALLAS_INTERPRET
+    if _PALLAS_INTERPRET is None:
+        env = os.environ.get("TFHE_TPU_PALLAS_INTERPRET")
+        _PALLAS_INTERPRET = (env not in ("0", "false", "False")
+                             if env is not None else False)
+    return _PALLAS_INTERPRET
+
+
+def set_pallas_interpret(flag: bool):
+    global _PALLAS_INTERPRET
+    _PALLAS_INTERPRET = bool(flag)
+
+
 _USE_MXU: Optional[bool] = None
 
 

@@ -149,18 +149,19 @@ def programmable_bootstrap(lwe: LweCiphertext, lut: GlweCiphertext,
         import os
         from ..poly.pallas_ntt import blind_rotate_fused, blind_rotate_pallas
         block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "8"))
+        interp = config.pallas_interpret()
         if config.use_fused_rotation() and bsk.paired_order == "fourstep":
             rotated = GlweCiphertext(data=blind_rotate_fused(
                 lut.data, lwe.data, bsk.paired, bsk.paired_shoup,
                 bsk.mono, bsk.mono_shoup, bsk.decomp, log_q=log_q,
-                block_b=block_b, mode="delta"))
+                block_b=block_b, mode="delta", interpret=interp))
             return sample_extract(rotated, 0)
         rotated = GlweCiphertext(data=blind_rotate_pallas(
             lut.data, lwe.data, bsk.paired, bsk.paired_shoup, bsk.decomp,
             log_q=log_q, block_b=block_b,
             mxu=bsk.paired_order.startswith("fourstep"),
             lanes=(bsk.paired_order == "fourstep-lanes"),
-            mono_tab=bsk.mono, mono_sh=bsk.mono_shoup))
+            mono_tab=bsk.mono, mono_sh=bsk.mono_shoup, interpret=interp))
         return sample_extract(rotated, 0)
     rotated = blind_rotate(lut, lwe, bsk, log_q)
     return sample_extract(rotated, 0)

@@ -24,6 +24,7 @@ namespace {
 
 PyObject *g_mod = nullptr;       // tfhe_tpu.capi module
 bool g_we_initialized = false;   // whether WE called Py_Initialize
+PyThreadState *g_main_ts = nullptr;  // saved after init (GIL released)
 std::string g_err = "no error";
 
 struct Gil {
@@ -50,6 +51,8 @@ void capture_py_error() {
 }
 
 // Unpack a (status, value...) tuple from capi.py; writes up to two u64s.
+// Guards tuple arity/NULL items so a contract mismatch on the Python side
+// surfaces as an error status, not a segfault.
 tfhe_status unpack(PyObject *res, uint64_t *out1, uint64_t *out2 = nullptr) {
   if (!res) {
     capture_py_error();
@@ -57,12 +60,30 @@ tfhe_status unpack(PyObject *res, uint64_t *out1, uint64_t *out2 = nullptr) {
   }
   tfhe_status st = 0;
   if (PyTuple_Check(res)) {
-    st = (tfhe_status)PyLong_AsLong(PyTuple_GetItem(res, 0));
+    Py_ssize_t n = PyTuple_Size(res);
+    Py_ssize_t need = 1 + (out1 ? 1 : 0) + (out2 ? 1 : 0);
+    PyObject *st_item = n >= 1 ? PyTuple_GetItem(res, 0) : nullptr;
+    if (!st_item) {
+      Py_DECREF(res);
+      g_err = "malformed result tuple from tfhe_tpu.capi";
+      return 1;
+    }
+    st = (tfhe_status)PyLong_AsLong(st_item);
+    if (st == 0 && n < need) {
+      Py_DECREF(res);
+      g_err = "result tuple from tfhe_tpu.capi is too short";
+      return 1;
+    }
     if (st == 0 && out1) {
       *out1 = PyLong_AsUnsignedLongLong(PyTuple_GetItem(res, 1));
     }
     if (st == 0 && out2) {
       *out2 = PyLong_AsUnsignedLongLong(PyTuple_GetItem(res, 2));
+    }
+    if (st == 0 && PyErr_Occurred()) {
+      capture_py_error();
+      Py_DECREF(res);
+      return 1;
     }
   } else {
     st = (tfhe_status)PyLong_AsLong(res);  // plain int status
@@ -78,21 +99,25 @@ extern "C" {
 
 tfhe_status tfhe_tpu_init(void) {
   if (g_mod) return 0;
+  bool we_initialized_now = false;
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
-    g_we_initialized = true;
+    g_we_initialized = we_initialized_now = true;
   }
-  Gil gil;
-  // the library may be loaded from anywhere; make the repo (cwd) importable
-  PyRun_SimpleString("import sys, os\n"
-                     "if os.getcwd() not in sys.path:\n"
-                     "    sys.path.insert(0, os.getcwd())\n");
-  g_mod = PyImport_ImportModule("tfhe_tpu.capi");
-  if (!g_mod) {
-    capture_py_error();
-    return 1;
+  {
+    Gil gil;
+    // the library may be loaded from anywhere; make the repo (cwd) importable
+    PyRun_SimpleString("import sys, os\n"
+                       "if os.getcwd() not in sys.path:\n"
+                       "    sys.path.insert(0, os.getcwd())\n");
+    g_mod = PyImport_ImportModule("tfhe_tpu.capi");
+    if (!g_mod) capture_py_error();
   }
-  return 0;
+  // Py_InitializeEx leaves the calling thread holding the GIL; release it so
+  // entry points (which each take the GIL via PyGILState_Ensure) are callable
+  // from any thread, matching the reference C API's thread-safety contract.
+  if (we_initialized_now) g_main_ts = PyEval_SaveThread();
+  return g_mod ? 0 : 1;
 }
 
 tfhe_status tfhe_tpu_shutdown(void) {
@@ -192,15 +217,26 @@ tfhe_status tfhe_serialize(tfhe_handle h, uint8_t **out, size_t *len) {
     capture_py_error();
     return 1;
   }
+  if (!PyTuple_Check(res) || PyTuple_Size(res) < 2) {
+    Py_DECREF(res);
+    g_err = "malformed result tuple from tfhe_tpu.capi serialize";
+    return 1;
+  }
   tfhe_status st = (tfhe_status)PyLong_AsLong(PyTuple_GetItem(res, 0));
   if (st == 0) {
     PyObject *bytes = PyTuple_GetItem(res, 1);
     char *buf = nullptr;
     Py_ssize_t n = 0;
-    if (PyBytes_AsStringAndSize(bytes, &buf, &n) == 0) {
-      *out = (uint8_t *)std::malloc(n);
-      std::memcpy(*out, buf, n);
-      *len = (size_t)n;
+    if (bytes != nullptr && PyBytes_AsStringAndSize(bytes, &buf, &n) == 0) {
+      uint8_t *dst = (uint8_t *)std::malloc((size_t)n);
+      if (dst == nullptr) {
+        g_err = "allocation failed in tfhe_serialize";
+        st = 1;
+      } else {
+        std::memcpy(dst, buf, (size_t)n);
+        *out = dst;
+        *len = (size_t)n;
+      }
     } else {
       capture_py_error();
       st = 1;

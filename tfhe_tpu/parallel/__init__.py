@@ -1,5 +1,5 @@
-from .mesh import (make_mesh, pbs_sharding_specs, shard_lwe_batch,
-                   shard_server_key_tree)
+from .mesh import (make_mesh, pbs_sharding_specs, replicate_tree,
+                   shard_lwe_batch, shard_map_kspbs, shard_server_key_tree)
 
-__all__ = ["make_mesh", "pbs_sharding_specs", "shard_lwe_batch",
-           "shard_server_key_tree"]
+__all__ = ["make_mesh", "pbs_sharding_specs", "replicate_tree",
+           "shard_lwe_batch", "shard_map_kspbs", "shard_server_key_tree"]

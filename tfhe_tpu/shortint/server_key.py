@@ -107,6 +107,7 @@ class ServerKey:
                 from ..core.poly.pallas_ntt import (
                     blind_rotate_fused, multi_bit_blind_rotate_pallas)
                 block_b = int(os.environ.get("TFHE_TPU_PALLAS_BLOCK", "8"))
+                interp = config.pallas_interpret()
                 if (config.use_fused_rotation()
                         and self.bsk.u32_order == "fourstep"):
                     rotated = GlweCiphertext(data=blind_rotate_fused(
@@ -114,7 +115,7 @@ class ServerKey:
                         self.bsk.shoup_u32, self.bsk.mono,
                         self.bsk.mono_shoup, self.bsk.decomp, log_q=LOG_Q,
                         block_b=block_b, mode="multibit",
-                        grouping=self.bsk.grouping_factor))
+                        grouping=self.bsk.grouping_factor, interpret=interp))
                     return sample_extract(rotated, 0)
                 rotated = GlweCiphertext(data=multi_bit_blind_rotate_pallas(
                     acc.data, lwe.data, self.bsk.data_u32, self.bsk.shoup_u32,
@@ -122,7 +123,8 @@ class ServerKey:
                     block_b=block_b,
                     mxu=self.bsk.u32_order.startswith("fourstep"),
                     lanes=(self.bsk.u32_order == "fourstep-lanes"),
-                    mono_tab=self.bsk.mono, mono_sh=self.bsk.mono_shoup))
+                    mono_tab=self.bsk.mono, mono_sh=self.bsk.mono_shoup,
+                    interpret=interp))
                 return sample_extract(rotated, 0)
             rotated = multi_bit_blind_rotate(acc, lwe, self.bsk, LOG_Q)
             return sample_extract(rotated, 0)

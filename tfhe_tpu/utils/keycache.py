@@ -44,7 +44,7 @@ class KeyCache:
             try:
                 obj = generate()
                 tmp = path.with_suffix(".tmp.npz")
-                serialization.save(obj, tmp)
+                serialization.save(obj, tmp, compress=False)
                 os.replace(tmp, path)
                 self._mem[name] = obj
                 return obj

@@ -157,13 +157,17 @@ def _decode(node, arrays):
     raise DeserializationError(f"bad node {t}")
 
 
-def save(obj, path_or_buf):
-    """Plain serialization (reference: raw serde/bincode tier)."""
+def save(obj, path_or_buf, compress: bool = True):
+    """Plain serialization (reference: raw serde/bincode tier).
+    compress=False skips zlib — key material is incompressible and large;
+    the key cache uses the raw format to keep save/load well under keygen
+    cost."""
     arrays: Dict[str, np.ndarray] = {}
     tree = _encode(obj, arrays, "")
     meta = json.dumps({"version": SERIALIZATION_VERSION,
                        "type": _type_name(obj), "tree": tree})
-    np.savez_compressed(path_or_buf, __meta__=np.frombuffer(
+    writer = np.savez_compressed if compress else np.savez
+    writer(path_or_buf, __meta__=np.frombuffer(
         meta.encode(), dtype=np.uint8), **arrays)
 
 

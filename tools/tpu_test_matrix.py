@@ -18,6 +18,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import tfhe_tpu  # noqa: F401,E402 (x64)
@@ -60,7 +61,6 @@ def main():
             return np.asarray(ck.decrypt(jax.device_put(ct, cpu)))
 
     # (name, builder(sk, a, b) -> ct, clear(x, y) -> value)
-    lut3 = None  # populated lazily inside closures (device-agnostic)
     cases = [
         ("apply_lookup_table",
          lambda sk, a, b: sk.apply_lookup_table(
@@ -93,8 +93,10 @@ def main():
     for name, op, clear in cases:
         xs = rng.integers(0, m, size=args.batch)
         ys = rng.integers(0, m, size=args.batch)
-        a = enc(xs, seed=hash(name) % 2**31)
-        b = enc(ys, seed=(hash(name) + 1) % 2**31)
+        # crc32, not hash(): reproducible across processes (PYTHONHASHSEED)
+        case_seed = zlib.crc32(name.encode()) % 2**31
+        a = enc(xs, seed=case_seed)
+        b = enc(ys, seed=case_seed + 1)
         fn = jax.jit(lambda sk, a, b, _op=op: _op(sk, a, b))
         t0 = time.time()
         out = fn(sk, a, b)
