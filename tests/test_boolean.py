@@ -117,3 +117,53 @@ def test_encrypt_compressed(bkeys):
                                   np.asarray(msgs))
     out = boolean.and_(sk, ct, boolean.encrypt(ck, msgs, seed=92))
     np.testing.assert_array_equal(boolean.decrypt(ck, out), np.asarray(msgs))
+
+
+def test_compressed_server_key(bkeys):
+    """CompressedServerKey decompression produces a working server key
+    (reference boolean/server_key/mod.rs CompressedServerKey)."""
+    ck, _ = bkeys
+    csk = B.gen_compressed_server_key(ck, seed=91)
+    # wire size: bodies only ((k+1)x smaller BSK, (n+1)x smaller KSK)
+    p = ck.params
+    assert csk.seeded_bsk.bodies.ndim == 4          # [n, l, k+1, N], no mask
+    assert csk.seeded_ksk.bodies.ndim == 2          # [big, l], no mask
+    sk = csk.decompress()
+    a = B.encrypt(ck, jnp.asarray([True, False, True, False]), seed=92)
+    b = B.encrypt(ck, jnp.asarray([True, True, False, False]), seed=93)
+    np.testing.assert_array_equal(
+        np.asarray(B.decrypt(ck, B.and_(sk, a, b))),
+        [True, False, False, False])
+    np.testing.assert_array_equal(
+        np.asarray(B.decrypt(ck, B.xor(sk, a, b))),
+        [False, True, True, False])
+
+
+def test_compressed_public_key(bkeys):
+    """CompressedPublicKey (reference boolean/public_key/compressed.rs):
+    decompressed key encrypts, private key decrypts."""
+    ck, sk = bkeys
+    cpk = B.gen_compressed_public_key(ck, seed=94)
+    assert cpk.seeded.bodies.ndim == 1              # bodies only
+    pk = cpk.decompress()
+    msgs = jnp.asarray([True, False, False, True])
+    ct = B.encrypt_with_public_key(pk, msgs, seed=95)
+    np.testing.assert_array_equal(np.asarray(B.decrypt(ck, ct)),
+                                  np.asarray(msgs))
+
+
+def test_compressed_keys_serialization(bkeys, tmp_path):
+    from tfhe_tpu.utils import serialization
+    ck, _ = bkeys
+    csk = B.gen_compressed_server_key(ck, seed=96)
+    path = tmp_path / "bool_csk.npz"
+    serialization.save(csk, path)
+    csk2 = serialization.load(path)
+    np.testing.assert_array_equal(np.asarray(csk.seeded_bsk.bodies),
+                                  np.asarray(csk2.seeded_bsk.bodies))
+    cpk = B.gen_compressed_public_key(ck, seed=97)
+    path2 = tmp_path / "bool_cpk.npz"
+    serialization.save(cpk, path2)
+    cpk2 = serialization.load(path2)
+    np.testing.assert_array_equal(np.asarray(cpk.seeded.bodies),
+                                  np.asarray(cpk2.seeded.bodies))

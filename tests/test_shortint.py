@@ -224,3 +224,38 @@ def test_left_shift_linear_and_trivials(skeys):
     assert sk.bootstrapping_key_size_bytes() > 0
     assert sk.key_switching_key_size_elements() > 0
     assert sk.deterministic_pbs_execution()
+
+
+def test_max_noise_level_enforced(skeys):
+    """MaxNoiseLevel enforcement (reference shortint/ciphertext/mod.rs:28-60):
+    checked ops raise once accumulated linear noise exceeds the parameter
+    set's bound; smart ops refresh instead; a PBS resets to NOMINAL."""
+    ck, sk = skeys
+    assert sk.max_noise_level.value == (M * TEST_PARAMS_SHORTINT.carry_modulus
+                                        - 1) // (M - 1)  # == 5 for 2_2
+    x = ck.encrypt(jnp.asarray([1]), seed=41)
+    assert x.noise_level == shortint.NoiseLevel.NOMINAL
+
+    # degree stays tiny (adding encryptions of 0/1) but noise accumulates
+    zero = ck.encrypt(jnp.asarray([0]), seed=42)
+    acc = x
+    for _ in range(sk.max_noise_level.value - 1):
+        acc = sk.unchecked_add(acc, zero)
+    assert acc.noise_level == sk.max_noise_level.value
+    # one more addition would exceed the bound -> checked op raises
+    with pytest.raises(shortint.CheckError):
+        sk.checked_add(acc, zero)
+    assert not sk.is_add_possible(acc, zero)
+
+    # smart op refreshes (noise back to NOMINAL via PBS) and still computes
+    out = sk.smart_add(acc, zero)
+    assert out.noise_level <= 2 * shortint.NoiseLevel.NOMINAL
+    assert int(np.asarray(ck.decrypt(sk.message_extract(out)))[0]) == 1
+
+    # scalar mul multiplies noise: 3x NOMINAL passes, 3x near-max fails
+    assert sk.is_scalar_mul_possible(x, 3)
+    assert not sk.is_scalar_mul_possible(acc, 3)
+
+    # a PBS always resets the noise level
+    lut = sk.generate_lookup_table(lambda v: v)
+    assert sk.apply_lookup_table(acc, lut).noise_level == shortint.NoiseLevel.NOMINAL

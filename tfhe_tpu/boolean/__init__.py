@@ -339,3 +339,73 @@ def gen_key_switching_key(ck1: ClientKey, ck2: ClientKey, ks_base_log: int = 2,
                                  DecompParams(ks_base_log, ks_level),
                                  _fresh_noise_std(ck2.params), ck2.params.log_q)
     return BooleanKeySwitchingKey(ksk=ksk, dest_params=ck2.params)
+
+
+# ---------------------------------------------------------------------------
+# compressed (seeded) server & public keys
+# (reference boolean/server_key/mod.rs CompressedServerKey,
+#  boolean/public_key/compressed.rs CompressedPublicKey)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class CompressedServerKey:
+    """Seed + bodies only: the BSK's GGSW masks and the KSK's LWE masks
+    regenerate deterministically from the stored seeds on decompression
+    ((k+1)x / (n+1)x smaller on the wire)."""
+
+    seeded_bsk: Any
+    seeded_ksk: Any
+    params: BooleanParameters = struct.field(pytree_node=False, default=None)
+
+    def decompress(self) -> ServerKey:
+        from ..core.algorithms.seeded import (decompress_bootstrap_key,
+                                              decompress_keyswitch_key)
+        p = self.params
+        bsk_std = decompress_bootstrap_key(self.seeded_bsk)
+        num_primes = external_product_num_primes(
+            p.polynomial_size, p.glwe_size, p.pbs_decomp, p.log_q)
+        bsk = bootstrap_key_to_ntt(bsk_std, p.log_q, num_primes)
+        ksk = decompress_keyswitch_key(self.seeded_ksk)
+        return ServerKey(bsk=bsk, ksk=ksk, params=p)
+
+
+def gen_compressed_server_key(ck: ClientKey, seed: int = 0) -> CompressedServerKey:
+    """Compressed twin of gen_server_key (reference
+    boolean::CompressedServerKey::new)."""
+    from ..core.algorithms.seeded import (generate_seeded_bootstrap_key,
+                                          generate_seeded_keyswitch_key)
+    p = ck.params
+    _, seeded_bsk = generate_seeded_bootstrap_key(
+        seed * 2 + 0xB001, ck.lwe_sk, ck.glwe_sk, p.pbs_decomp,
+        p.glwe_noise_std, p.log_q)
+    _, seeded_ksk = generate_seeded_keyswitch_key(
+        seed * 2 + 0xB002, ck.glwe_sk.as_lwe_secret_key(), ck.lwe_sk,
+        p.ks_decomp, p.lwe_noise_std, p.log_q)
+    return CompressedServerKey(seeded_bsk=seeded_bsk, seeded_ksk=seeded_ksk,
+                               params=p)
+
+
+@struct.dataclass
+class CompressedPublicKey:
+    """Seeded list-of-zero-encryptions public key (reference
+    boolean/public_key/compressed.rs): stores bodies + the mask seed."""
+
+    seeded: Any
+    params: BooleanParameters = struct.field(pytree_node=False, default=None)
+
+    def decompress(self) -> PublicKey:
+        from ..core.algorithms.seeded import decompress_lwe_public_key
+        return PublicKey(pk=decompress_lwe_public_key(self.seeded),
+                         params=self.params)
+
+
+def gen_compressed_public_key(ck: ClientKey, zero_count: int = None,
+                              seed: int = 0) -> CompressedPublicKey:
+    from ..core.algorithms.seeded import generate_seeded_lwe_public_key
+    n = ck.encryption_key.lwe_dimension
+    zero_count = zero_count or (2 * n)
+    _, seeded = generate_seeded_lwe_public_key(
+        seed * 2 + 0xB003, ck.encryption_key, zero_count,
+        _fresh_noise_std(ck.params), ck.params.log_q)
+    return CompressedPublicKey(seeded=seeded, params=ck.params)

@@ -10,11 +10,11 @@ the jit-friendly equivalent of shortint/ciphertext/mod.rs:263 bookkeeping).
 Batching: `Ciphertext.lwe.data` is [..., n+1]; every server-key op maps over
 the batch in one XLA program.
 """
-from .ciphertext import Ciphertext, NoiseLevel
+from .ciphertext import CheckError, Ciphertext, MaxNoiseLevel, NoiseLevel
 from .client_key import ClientKey, gen_keys
 from .server_key import (CompressedServerKey, LookupTable, MaxDegree,
                          ServerKey, gen_compressed_server_key)
 
-__all__ = ["Ciphertext", "ClientKey", "ServerKey", "LookupTable", "MaxDegree",
-           "NoiseLevel", "gen_keys", "CompressedServerKey",
-           "gen_compressed_server_key"]
+__all__ = ["CheckError", "Ciphertext", "ClientKey", "ServerKey",
+           "LookupTable", "MaxDegree", "MaxNoiseLevel", "NoiseLevel",
+           "gen_keys", "CompressedServerKey", "gen_compressed_server_key"]

@@ -9,6 +9,12 @@ import flax.struct as struct
 from ..core.entities import LweCiphertext
 
 
+class CheckError(ValueError):
+    """Operator precondition failure (reference `CheckError`,
+    shortint/ciphertext/mod.rs): CarryFull (degree overflow) or NoiseTooBig
+    (noise level above the parameter set's enforced maximum)."""
+
+
 class NoiseLevel:
     """Mirrors reference `NoiseLevel` (shortint/ciphertext/mod.rs:64):
     NOMINAL after a PBS, ZERO for trivial, grows additively with linear ops."""
@@ -16,6 +22,33 @@ class NoiseLevel:
     ZERO = 0
     NOMINAL = 1
     UNKNOWN = 1 << 30
+
+
+class MaxNoiseLevel:
+    """Maximum tolerated noise level for a parameter set (reference
+    `MaxNoiseLevel`, shortint/ciphertext/mod.rs:28-60).  Current parameter
+    sets guarantee their p-fail for a norm2 noise bound equal to this value,
+    derived from the carry space."""
+
+    def __init__(self, value: int):
+        self.value = int(value)
+
+    @classmethod
+    def from_msg_carry_modulus(cls, msg_modulus: int,
+                               carry_modulus: int) -> "MaxNoiseLevel":
+        return cls((carry_modulus * msg_modulus - 1) // (msg_modulus - 1))
+
+    def validate(self, noise_level: int) -> None:
+        if noise_level > self.value:
+            raise CheckError(
+                f"NoiseTooBig: noise level {noise_level} exceeds the "
+                f"parameter set's maximum {self.value}")
+
+    def __eq__(self, other):
+        return isinstance(other, MaxNoiseLevel) and other.value == self.value
+
+    def __repr__(self):
+        return f"MaxNoiseLevel({self.value})"
 
 
 @struct.dataclass

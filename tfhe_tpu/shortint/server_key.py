@@ -27,7 +27,7 @@ from ..core.algorithms import (bootstrap_key_to_ntt, external_product_num_primes
 from ..core.entities import (GlweCiphertext, LweCiphertext, LweKeyswitchKey,
                              NttLweBootstrapKey)
 from ..core.params import PBSOrder
-from .ciphertext import Ciphertext, NoiseLevel
+from .ciphertext import CheckError, Ciphertext, MaxNoiseLevel, NoiseLevel
 from .client_key import LOG_Q, ClientKey, delta_for
 
 
@@ -66,6 +66,13 @@ class ServerKey:
     @property
     def max_degree(self) -> int:
         return MaxDegree.integer_radix(self.message_modulus, self.carry_modulus)
+
+    @property
+    def max_noise_level(self) -> MaxNoiseLevel:
+        """Enforced maximum noise level (reference ServerKey holds this from
+        the parameter set, shortint/server_key/mod.rs:284-300)."""
+        return MaxNoiseLevel.from_msg_carry_modulus(self.message_modulus,
+                                                    self.carry_modulus)
 
     # ------------------------------------------------------------------
     # LUT machinery
@@ -191,9 +198,9 @@ class ServerKey:
 
     def _prepare_bivariate(self, left, right):
         m = self.message_modulus
-        if right.degree >= m:
+        if right.degree >= m or not self._noise_ok(right.noise_level):
             right = self.message_extract(right)
-        if left.degree * m + right.degree > self.max_degree:
+        if not self.is_bivariate_pbs_possible(left, right):
             left = self.message_extract(left)
         return left, right
 
@@ -224,11 +231,12 @@ class ServerKey:
 
     def checked_add(self, a, b):
         if a.degree + b.degree > self.max_degree:
-            raise ValueError("CarryFull: add would overflow the carry buffer")
+            raise CheckError("CarryFull: add would overflow the carry buffer")
+        self.max_noise_level.validate(a.noise_level + b.noise_level)
         return self.unchecked_add(a, b)
 
     def smart_add(self, a, b):
-        if a.degree + b.degree > self.max_degree:
+        if not self.is_add_possible(a, b):
             a, b = self.message_extract(a), self.message_extract(b)
         return self.unchecked_add(a, b)
 
@@ -245,7 +253,8 @@ class ServerKey:
         return a.with_(lwe=LweCiphertext(data=data), degree=z - 1)
 
     def smart_neg(self, a):
-        if a.degree >= self.message_modulus * self.carry_modulus - self.message_modulus:
+        if (a.degree >= self.message_modulus * self.carry_modulus
+                - self.message_modulus or not self._noise_ok(a.noise_level)):
             a = self.message_extract(a)
         return self.unchecked_neg(a)
 
@@ -256,9 +265,10 @@ class ServerKey:
         return self.unchecked_add(a, self.unchecked_neg(b))
 
     def smart_sub(self, a, b):
-        nb = self.unchecked_neg(b if b.degree < self.message_modulus
-                                else self.message_extract(b))
-        if a.degree + nb.degree > self.max_degree:
+        nb = self.unchecked_neg(
+            b if b.degree < self.message_modulus
+            and self._noise_ok(b.noise_level) else self.message_extract(b))
+        if not self.is_add_possible(a, nb):
             a = self.message_extract(a)
         return self.unchecked_add(a, nb)
 
@@ -274,7 +284,7 @@ class ServerKey:
         return a.with_(lwe=LweCiphertext(data=data), degree=a.degree + scalar)
 
     def smart_scalar_add(self, a, scalar: int):
-        if a.degree + scalar > self.max_degree:
+        if not self.is_scalar_add_possible(a, scalar):
             a = self.message_extract(a)
         return self.unchecked_scalar_add(a, scalar)
 
@@ -287,9 +297,9 @@ class ServerKey:
                        noise_level=a.noise_level * max(scalar, 1))
 
     def smart_scalar_mul(self, a, scalar: int):
-        if a.degree * scalar > self.max_degree:
+        if not self.is_scalar_mul_possible(a, scalar):
             a = self.message_extract(a)
-        if a.degree * scalar > self.max_degree:   # still too big: go through LUT
+        if not self.is_scalar_mul_possible(a, scalar):  # still too big: LUT
             return self.evaluate_univariate(a, lambda x: (x * scalar))
         return self.unchecked_scalar_mul(a, scalar)
 
@@ -384,35 +394,48 @@ class ServerKey:
     # precondition predicates (reference is_*_possible, shortint/server_key)
     # ------------------------------------------------------------------
 
+    def _noise_ok(self, noise_level: int) -> bool:
+        return noise_level <= self.max_noise_level.value
+
     def is_add_possible(self, a, b) -> bool:
-        return a.degree + b.degree <= self.max_degree
+        """Degree AND noise-level validation (reference is_add_possible,
+        add.rs:270-280: max_degree.validate + max_noise_level.validate)."""
+        return (a.degree + b.degree <= self.max_degree
+                and self._noise_ok(a.noise_level + b.noise_level))
 
     def is_neg_possible(self, a) -> bool:
         m = self.message_modulus
-        return -(-(a.degree + 1) // m) * m - 1 <= self.max_degree
+        return (-(-(a.degree + 1) // m) * m - 1 <= self.max_degree
+                and self._noise_ok(a.noise_level))
 
     def is_sub_possible(self, a, b) -> bool:
         m = self.message_modulus
         z = -(-(b.degree + 1) // m) * m
-        return a.degree + z - 1 <= self.max_degree
+        return (a.degree + z - 1 <= self.max_degree
+                and self._noise_ok(a.noise_level + b.noise_level))
 
     def is_scalar_add_possible(self, a, scalar: int) -> bool:
-        return a.degree + scalar <= self.max_degree
+        return (a.degree + scalar <= self.max_degree
+                and self._noise_ok(a.noise_level))
 
     def is_scalar_sub_possible(self, a, scalar: int) -> bool:
-        return scalar <= a.degree
+        return scalar <= a.degree and self._noise_ok(a.noise_level)
 
     def is_scalar_mul_possible(self, a, scalar: int) -> bool:
-        return a.degree * scalar <= self.max_degree
+        return (a.degree * scalar <= self.max_degree
+                and self._noise_ok(a.noise_level * max(scalar, 1)))
 
     def is_scalar_left_shift_possible(self, a, shift: int) -> bool:
-        return a.degree << shift <= self.max_degree
+        return (a.degree << shift <= self.max_degree
+                and self._noise_ok(a.noise_level * (1 << shift)))
 
     def is_bivariate_pbs_possible(self, a, b) -> bool:
         """left·m + right must fit the LUT domain
-        (reference is_bivariate_pbs_possible, bivariate_pbs.rs)."""
+        (reference is_bivariate_pbs_possible, bivariate_pbs.rs); the packing
+        is a scalar-mul + add, so noise validates as a.noise·m + b.noise."""
         m = self.message_modulus
-        return b.degree < m and a.degree * m + b.degree <= self.max_degree
+        return (b.degree < m and a.degree * m + b.degree <= self.max_degree
+                and self._noise_ok(a.noise_level * m + b.noise_level))
 
     def is_mul_possible(self, a, b) -> bool:
         return self.is_bivariate_pbs_possible(a, b)
@@ -423,7 +446,8 @@ class ServerKey:
 
     def _check_bivariate(self, a, b):
         if not self.is_bivariate_pbs_possible(a, b):
-            raise ValueError("CarryFull: bivariate PBS domain overflow")
+            raise CheckError(
+                "CarryFull/NoiseTooBig: bivariate PBS precondition failed")
 
     # ------------------------------------------------------------------
     # trivial encryption on the server (reference create_trivial, mod.rs)
@@ -528,7 +552,7 @@ class ServerKey:
 
     def checked_mul_lsb_with_small_carry(self, a, b):
         if not self.is_mul_small_carry_possible(a, b):
-            raise ValueError("CarryFull: small-carry mul would overflow")
+            raise CheckError("CarryFull: small-carry mul would overflow")
         return self.unchecked_mul_lsb_small_carry(a, b)
 
     # ------------------------------------------------------------------

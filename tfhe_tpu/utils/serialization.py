@@ -33,11 +33,16 @@ def _register_known_types():
         return
     from ..core import entities as E
     from ..core.algorithms import seeded as S
+    from ..core.algorithms.public_key import (LweCompactPublicKey,
+                                              LwePublicKey)
     from ..core.params import (BooleanParameters, ClassicPBSParameters,
                                DecompParams, GadgetParameters,
                                MultiBitPBSParameters, WopbsParameters)
-    from ..boolean import BoolCiphertext, ClientKey as BooleanClientKey, \
-        ServerKey as BooleanServerKey
+    from ..boolean import (BoolCiphertext, ClientKey as BooleanClientKey,
+                           CompressedPublicKey as BooleanCompressedPublicKey,
+                           CompressedServerKey as BooleanCompressedServerKey,
+                           PublicKey as BooleanPublicKey,
+                           ServerKey as BooleanServerKey)
     from ..shortint.ciphertext import Ciphertext as ShortintCiphertext
     from ..shortint.client_key import ClientKey as ShortintClientKey
     from ..shortint.server_key import (CompressedServerKey
@@ -57,10 +62,13 @@ def _register_known_types():
                 S.SeededLweBootstrapKey, S.SeededLweKeyswitchKey,
                 S.SeededGgswCiphertextList, S.SeededLweMultiBitBootstrapKey,
                 S.SeededLwePackingKeyswitchKey, S.SeededLwePublicKey,
+                LwePublicKey, LweCompactPublicKey,
                 S.SeededLweCompactPublicKey,
                 DecompParams, ClassicPBSParameters, MultiBitPBSParameters,
                 WopbsParameters, BooleanParameters, GadgetParameters,
                 BoolCiphertext, BooleanClientKey, BooleanServerKey,
+                BooleanCompressedServerKey, BooleanCompressedPublicKey,
+                BooleanPublicKey,
                 ShortintCiphertext, ShortintClientKey, ShortintServerKey,
                 ShortintCompressedServerKey,
                 LookupTable, RadixCiphertext, SignedRadixCiphertext,
