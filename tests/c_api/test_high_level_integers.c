@@ -69,6 +69,100 @@ int main(void) {
   CHECK(tfhe_destroy(eq));
   CHECK(tfhe_destroy(sadd));
   CHECK(tfhe_destroy(a2));
+
+  /* wider widths (the reference's c_api test drives u8..u256) ------------ */
+  {
+    tfhe_handle x = 0, y = 0, s16 = 0;
+    uint16_t v16 = 0;
+    CHECK(tfhe_fheuint16_try_encrypt_with_client_key_u16(1234, ck, &x));
+    CHECK(tfhe_fheuint16_try_encrypt_with_client_key_u16(4321, ck, &y));
+    CHECK(tfhe_fheuint16_add(x, y, &s16));
+    CHECK(tfhe_fheuint16_decrypt(s16, ck, &v16));
+    assert(v16 == 5555);
+    CHECK(tfhe_destroy(x));
+    CHECK(tfhe_destroy(y));
+    CHECK(tfhe_destroy(s16));
+  }
+  {
+    tfhe_handle x = 0, y = 0, r = 0, x2 = 0;
+    uint32_t v32 = 0;
+    uint8_t *buf = NULL;
+    size_t len = 0;
+    CHECK(tfhe_fheuint32_try_encrypt_with_client_key_u32(0xCAFE1234u, ck, &x));
+    CHECK(tfhe_fheuint32_try_encrypt_with_client_key_u32(0x00010001u, ck, &y));
+    CHECK(tfhe_fheuint32_bitxor(x, y, &r));
+    CHECK(tfhe_fheuint32_decrypt(r, ck, &v32));
+    assert(v32 == (0xCAFE1234u ^ 0x00010001u));
+    /* serialization across the ABI at 32 bits */
+    CHECK(tfhe_serialize(x, &buf, &len));
+    assert(len > 0);
+    CHECK(tfhe_deserialize_fheuint32(buf, len, &x2));
+    tfhe_buffer_destroy(buf);
+    CHECK(tfhe_fheuint32_decrypt(x2, ck, &v32));
+    assert(v32 == 0xCAFE1234u);
+    CHECK(tfhe_destroy(x));
+    CHECK(tfhe_destroy(y));
+    CHECK(tfhe_destroy(r));
+    CHECK(tfhe_destroy(x2));
+  }
+  {
+    tfhe_handle x = 0, r = 0;
+    uint64_t v64 = 0;
+    CHECK(tfhe_fheuint64_try_encrypt_with_client_key_u64(
+        0xDEADBEEF00C0FFEEull, ck, &x));
+    CHECK(tfhe_fheuint64_scalar_add(x, 0x11, &r));
+    CHECK(tfhe_fheuint64_decrypt(r, ck, &v64));
+    assert(v64 == 0xDEADBEEF00C0FFFFull);
+    CHECK(tfhe_destroy(x));
+    CHECK(tfhe_destroy(r));
+  }
+
+  /* boolean scheme through the ABI ---------------------------------------- */
+  {
+    tfhe_handle bck = 0, bsk = 0, t = 0, f = 0, g = 0, m = 0;
+    int v = -1;
+    CHECK(tfhe_boolean_gen_keys("TEST_PARAMS_BOOLEAN", 7, &bck, &bsk));
+    CHECK(tfhe_boolean_encrypt(1, bck, &t));
+    CHECK(tfhe_boolean_encrypt(0, bck, &f));
+    CHECK(tfhe_boolean_and(bsk, t, f, &g));
+    CHECK(tfhe_boolean_decrypt(g, bck, &v));
+    assert(v == 0);
+    CHECK(tfhe_destroy(g));
+    CHECK(tfhe_boolean_xor(bsk, t, f, &g));
+    CHECK(tfhe_boolean_decrypt(g, bck, &v));
+    assert(v == 1);
+    CHECK(tfhe_boolean_mux(bsk, t, f, t, &m));
+    CHECK(tfhe_boolean_decrypt(m, bck, &v));
+    assert(v == 0);
+    CHECK(tfhe_destroy(g));
+    CHECK(tfhe_destroy(m));
+    CHECK(tfhe_destroy(t));
+    CHECK(tfhe_destroy(f));
+  }
+
+  /* shortint scheme through the ABI --------------------------------------- */
+  {
+    tfhe_handle sck = 0, ssk = 0, p = 0, q = 0, r = 0;
+    uint64_t v = 0;
+    CHECK(tfhe_shortint_gen_keys("TEST_PARAMS_SHORTINT", 9, &sck, &ssk));
+    CHECK(tfhe_shortint_encrypt(2, sck, &p));
+    CHECK(tfhe_shortint_encrypt(3, sck, &q));
+    CHECK(tfhe_shortint_add(ssk, p, q, &r));
+    CHECK(tfhe_shortint_decrypt(r, sck, &v));
+    assert(v == (2 + 3) % 4);
+    CHECK(tfhe_destroy(r));
+    CHECK(tfhe_shortint_mul(ssk, p, q, &r));
+    CHECK(tfhe_shortint_decrypt(r, sck, &v));
+    assert(v == (2 * 3) % 4);
+    CHECK(tfhe_destroy(r));
+    CHECK(tfhe_shortint_scalar_add(ssk, p, 1, &r));
+    CHECK(tfhe_shortint_decrypt(r, sck, &v));
+    assert(v == 3);
+    CHECK(tfhe_destroy(r));
+    CHECK(tfhe_destroy(p));
+    CHECK(tfhe_destroy(q));
+  }
+
   CHECK(tfhe_tpu_shutdown());
 
   printf("PASS\n");

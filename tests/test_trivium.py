@@ -6,9 +6,11 @@ import numpy as np
 import pytest
 
 from tfhe_tpu import boolean as B
-from tfhe_tpu.apps import (KreyviumStream, TriviumStream,
+from tfhe_tpu.apps import (KreyviumStream, KreyviumStreamByte,
+                           KreyviumStreamShortint, TriviumStream,
+                           TriviumStreamByte, TriviumStreamShortint,
                            clear_kreyvium_keystream, clear_trivium_keystream,
-                           trans_decrypt_u64, trans_encrypt_u64)
+                           trans_decrypt_u64_bits, trans_encrypt_u64)
 from tfhe_tpu.core.params import TEST_PARAMS_BOOLEAN
 
 WARMUP = 16   # reduced from the spec's 1152 to keep CPU tests fast
@@ -116,3 +118,121 @@ def test_transciphering_roundtrip(bkeys, rs):
         out = B.not_(eb) if clear_bit else eb
         got |= int(bool(np.asarray(B.decrypt(ck, out)))) << i
     assert got == value & 0xFFFF
+
+
+def test_trivium_byte_clear_official_vectors():
+    """Clear byte-representation model against the official vectors, full
+    1152-round warmup (reference trivium_byte.rs + its test.rs)."""
+    st = TriviumStreamByte([0] * 10, [0] * 10)
+    out = []
+    for _ in range(8):
+        out += st.next_64()
+    assert "".join("%02X" % b for b in out).startswith(
+        "FBE0BF265859051B517A2E4E239FC97F")
+    key = list(bytes.fromhex("0053A6F94C9FF24598EB"))
+    iv = list(bytes.fromhex("0D74DB42A91077DE45AC"))
+    st = TriviumStreamByte(key, iv)
+    out = st.next_64()
+    assert "".join("%02X" % b for b in out) == "F4CD954A717F26A7"
+
+
+def test_kreyvium_byte_clear_matches_bit_model():
+    from tfhe_tpu.apps.trivium import _lsb_bits_of_bytes
+    kb = list(bytes.fromhex("0053A6F94C9FF24598EB0D74DB42A910"))
+    ib = list(bytes.fromhex("0D74DB42A91077DE45AC0053A6F94C9F"))
+    st = KreyviumStreamByte(kb, ib)
+    got = st.next_64() + st.next_64()
+    ks = clear_kreyvium_keystream(
+        _lsb_bits_of_bytes(kb), _lsb_bits_of_bytes(ib), 128)
+    want = [sum(ks[8 * i + j] << j for j in range(8)) for i in range(16)]
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def trivium_shortint_keys():
+    """Internal (msg 2, carry 4) + HLAPI (2_2) key sets with a casting KSK
+    (reference gen_keys(PARAM_MESSAGE_1_CARRY_1_KS_PBS) +
+    PARAM_KEYSWITCH_1_1_KS_PBS_TO_2_2_KS_PBS)."""
+    from tfhe_tpu import hlapi, shortint
+    from tfhe_tpu.core.params import (ShortintKeySwitchingParameters,
+                                      TEST_PARAMS_SHORTINT,
+                                      TEST_PARAMS_TRIVIUM)
+    ck1, sk1 = shortint.gen_keys(TEST_PARAMS_TRIVIUM, seed=71)
+    hl_ck, hl_sk = hlapi.generate_keys(
+        hlapi.ConfigBuilder().use_custom_parameters(
+            "TEST_PARAMS_SHORTINT").build(), seed=72)
+    ksk = shortint.generate_key_switching_key(
+        ck1, hl_ck.shortint_ck,
+        ShortintKeySwitchingParameters(ks_base_log=3, ks_level=5),
+        seed=73, dest_server_key=hl_sk.radix.key)
+    return ck1, sk1, hl_ck, hl_sk, ksk
+
+
+def test_trivium_shortint_matches_clear(trivium_shortint_keys, rs):
+    """Shortint-representation keystream equals the clear model (reference
+    trivium_shortint.rs; the 64 parallel steps run as stacked PBS batches)."""
+    ck1, sk1, _, _, _ = trivium_shortint_keys
+    key_bits = [int(b) for b in rs.randint(0, 2, 80)]
+    iv_bits = [int(b) for b in rs.randint(0, 2, 80)]
+    enc_key = [ck1.encrypt(jnp.asarray(int(b), dtype=jnp.uint64),
+                           seed=200 + i) for i, b in enumerate(key_bits)]
+    stream = TriviumStreamShortint(enc_key, iv_bits, sk1, warmup_rounds=1)
+    clear = clear_trivium_keystream(key_bits, iv_bits, 64, warmup_rounds=64)
+    got = [int(np.asarray(ck1.decrypt(z))) for z in stream.next_64()]
+    assert got == clear
+
+
+def test_kreyvium_shortint_matches_clear(trivium_shortint_keys, rs):
+    ck1, sk1, _, _, _ = trivium_shortint_keys
+    key_bits = [int(b) for b in rs.randint(0, 2, 128)]
+    iv_bits = [int(b) for b in rs.randint(0, 2, 128)]
+    enc_key = [ck1.encrypt(jnp.asarray(int(b), dtype=jnp.uint64),
+                           seed=300 + i) for i, b in enumerate(key_bits)]
+    stream = KreyviumStreamShortint(enc_key, iv_bits, sk1, warmup_rounds=1)
+    clear = clear_kreyvium_keystream(key_bits, iv_bits, 64, warmup_rounds=64)
+    got = [int(np.asarray(ck1.decrypt(z))) for z in stream.next_64()]
+    assert got == clear
+
+
+def test_trivium_shortint_transciphering_fheuint64(trivium_shortint_keys, rs):
+    """Full TransCiphering round trip (reference trans_ciphering/mod.rs):
+    the client XOR-masks a u64 with the clear keystream and sends it
+    trivially encrypted; the server XORs in the FHE keystream (pairs packed
+    through the casting KSK) and the result decrypts to the value as a real
+    FheUint64 — no dead parameters, actual 64-bit packing."""
+    from tfhe_tpu import hlapi
+    ck1, sk1, hl_ck, hl_sk, ksk = trivium_shortint_keys
+    key_bits = [int(b) for b in rs.randint(0, 2, 80)]
+    iv_bits = [int(b) for b in rs.randint(0, 2, 80)]
+    value = 0xDEADBEEFCAFEF00D
+
+    # client: clear keystream mask (warmup 1 round of 64)
+    clear_ks = clear_trivium_keystream(key_bits, iv_bits, 64, warmup_rounds=64)
+    masked = trans_encrypt_u64(value, clear_ks)
+
+    # server: encrypted keystream, packed and cast into the HLAPI space
+    enc_key = [ck1.encrypt(jnp.asarray(int(b), dtype=jnp.uint64),
+                           seed=400 + i) for i, b in enumerate(key_bits)]
+    stream = TriviumStreamShortint(enc_key, iv_bits, sk1, cast_ksk=ksk,
+                                   hl_server_key=hl_sk, warmup_rounds=1)
+    hlapi.set_server_key(hl_sk)
+    cipher = hlapi.FheUint64.encrypt_trivial(masked, hl_ck)
+    out = stream.trans_decrypt_64(cipher)
+    assert int(out.decrypt(hl_ck)) == value
+
+
+def test_trivium_byte_fhe_matches_clear(trivium_shortint_keys):
+    """FheUint8 byte representation (reference TriviumStreamByte<FheUint8>):
+    one batched radix pipeline for the 8 byte-steps; keystream equals the
+    clear byte model."""
+    from tfhe_tpu import hlapi
+    _, _, hl_ck, hl_sk, _ = trivium_shortint_keys
+    hlapi.set_server_key(hl_sk)
+    key = list(bytes.fromhex("0053A6F94C9FF24598EB"))
+    iv = list(bytes.fromhex("0D74DB42A91077DE45AC"))
+    enc_key = [hlapi.FheUint8.encrypt(k, hl_ck, seed=500 + i)
+               for i, k in enumerate(key)]
+    st = TriviumStreamByte(enc_key, iv, server_key=hl_sk, warmup_rounds=0)
+    st_clear = TriviumStreamByte(key, iv, warmup_rounds=0)
+    got = [int(hlapi.FheUint8(v).decrypt(hl_ck)) for v in st.next_64()]
+    assert got == st_clear.next_64()

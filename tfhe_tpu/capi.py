@@ -77,23 +77,11 @@ def set_server_key(sk_handle: int) -> int:
     return OK
 
 
-# -- FheUint8 (other widths follow the same pattern) -------------------------
+# -- FheUint widths (reference c_api covers u8..u256; stamped per width) -----
 
-
-def fheuint8_try_encrypt_with_client_key(value: int, ck_handle: int,
-                                         seed: int = 0) -> tuple[int, int]:
-    try:
-        ct = hlapi.FheUint8.encrypt(jnp.asarray(value), _get(ck_handle), seed=seed)
-        return OK, _new(ct)
-    except Exception:
-        return ERR, 0
-
-
-def fheuint8_decrypt(ct_handle: int, ck_handle: int) -> tuple[int, int]:
-    try:
-        return OK, int(np.asarray(_get(ct_handle).decrypt(_get(ck_handle))))
-    except Exception:
-        return ERR, 0
+_BINOPS = {"add": "__add__", "sub": "__sub__", "mul": "__mul__",
+           "bitand": "__and__", "bitor": "__or__", "bitxor": "__xor__",
+           "eq": "eq", "le": "le"}
 
 
 def _binop(name):
@@ -106,19 +94,173 @@ def _binop(name):
     return op
 
 
-fheuint8_add = _binop("__add__")
-fheuint8_sub = _binop("__sub__")
-fheuint8_mul = _binop("__mul__")
-fheuint8_bitand = _binop("__and__")
-fheuint8_bitor = _binop("__or__")
-fheuint8_bitxor = _binop("__xor__")
-fheuint8_eq = _binop("eq")
-fheuint8_le = _binop("le")
+def _register_width(bits: int):
+    """Stamp the fheuint{bits}_* function family (the Python analogue of the
+    reference's per-type c_api macro expansion)."""
+    cls = getattr(hlapi, f"FheUint{bits}")
+    g = globals()
+    pre = f"fheuint{bits}_"
+
+    def encrypt(value: int, ck_handle: int, seed: int = 0) -> tuple[int, int]:
+        try:
+            ct = cls.encrypt(jnp.asarray(np.uint64(value)), _get(ck_handle),
+                             seed=seed)
+            return OK, _new(ct)
+        except Exception:
+            return ERR, 0
+
+    def decrypt(ct_handle: int, ck_handle: int) -> tuple[int, int]:
+        try:
+            return OK, int(_get(ct_handle).decrypt(_get(ck_handle)))
+        except Exception:
+            return ERR, 0
+
+    def scalar_add(lhs: int, scalar: int) -> tuple[int, int]:
+        try:
+            return OK, _new(_get(lhs) + int(scalar))
+        except Exception:
+            return ERR, 0
+
+    def deserialize(data: bytes) -> tuple[int, int]:
+        import io
+        from .utils import load
+        try:
+            return OK, _new(cls(load(io.BytesIO(data))))
+        except Exception:
+            return ERR, 0
+
+    g[pre + "try_encrypt_with_client_key"] = encrypt
+    g[pre + "decrypt"] = decrypt
+    g[pre + "scalar_add"] = scalar_add
+    g[f"deserialize_fheuint{bits}"] = deserialize
+    for cname, pyname in _BINOPS.items():
+        g[pre + cname] = _binop(pyname)
 
 
-def fheuint8_scalar_add(lhs: int, scalar: int) -> tuple[int, int]:
+for _bits in (8, 16, 32, 64):
+    _register_width(_bits)
+
+
+# -- boolean surface (reference c_api/boolean/) ------------------------------
+
+
+def boolean_gen_keys(name: str, seed: int = 0) -> tuple[int, int, int]:
     try:
-        return OK, _new(_get(lhs) + int(scalar))
+        from . import boolean as B
+        from .core.params import TEST_PARAMS_BOOLEAN
+        params = TEST_PARAMS_BOOLEAN if name == "TEST_PARAMS_BOOLEAN" else name
+        ck, sk = B.gen_keys(params, seed=seed)
+        return OK, _new(ck), _new(sk)
+    except Exception:
+        return ERR, 0, 0
+
+
+def boolean_encrypt(value: int, ck_handle: int, seed: int = 0) -> tuple[int, int]:
+    try:
+        from . import boolean as B
+        ct = B.encrypt(_get(ck_handle), jnp.asarray(bool(value)), seed=seed)
+        return OK, _new(ct)
+    except Exception:
+        return ERR, 0
+
+
+def boolean_decrypt(ct_handle: int, ck_handle: int) -> tuple[int, int]:
+    try:
+        from . import boolean as B
+        return OK, int(bool(np.asarray(B.decrypt(_get(ck_handle),
+                                                 _get(ct_handle)))))
+    except Exception:
+        return ERR, 0
+
+
+def _boolean_gate(gate: str):
+    def op(sk_handle: int, lhs: int, rhs: int) -> tuple[int, int]:
+        try:
+            from . import boolean as B
+            fn = getattr(B, gate)
+            return OK, _new(fn(_get(sk_handle), _get(lhs), _get(rhs)))
+        except Exception:
+            return ERR, 0
+    return op
+
+
+boolean_and = _boolean_gate("and_")
+boolean_or = _boolean_gate("or_")
+boolean_xor = _boolean_gate("xor")
+boolean_nand = _boolean_gate("nand")
+boolean_nor = _boolean_gate("nor")
+boolean_xnor = _boolean_gate("xnor")
+
+
+def boolean_not(sk_handle: int, ct: int) -> tuple[int, int]:
+    try:
+        from . import boolean as B
+        return OK, _new(B.not_(_get(ct)))
+    except Exception:
+        return ERR, 0
+
+
+def boolean_mux(sk_handle: int, cond: int, then_ct: int,
+                else_ct: int) -> tuple[int, int]:
+    try:
+        from . import boolean as B
+        return OK, _new(B.mux(_get(sk_handle), _get(cond), _get(then_ct),
+                              _get(else_ct)))
+    except Exception:
+        return ERR, 0
+
+
+# -- shortint surface (reference c_api/shortint/) ----------------------------
+
+
+def shortint_gen_keys(name: str, seed: int = 0) -> tuple[int, int, int]:
+    try:
+        from .core.params import TEST_PARAMS_SHORTINT
+        params = (TEST_PARAMS_SHORTINT if name == "TEST_PARAMS_SHORTINT"
+                  else shortint_params(name))
+        ck, sk = shortint.gen_keys(params, seed=seed)
+        return OK, _new(ck), _new(sk)
+    except Exception:
+        return ERR, 0, 0
+
+
+def shortint_encrypt(value: int, ck_handle: int, seed: int = 0) -> tuple[int, int]:
+    try:
+        ct = _get(ck_handle).encrypt(jnp.asarray(int(value), dtype=jnp.uint64),
+                                     seed=seed)
+        return OK, _new(ct)
+    except Exception:
+        return ERR, 0
+
+
+def shortint_decrypt(ct_handle: int, ck_handle: int) -> tuple[int, int]:
+    try:
+        return OK, int(np.asarray(_get(ck_handle).decrypt(_get(ct_handle))))
+    except Exception:
+        return ERR, 0
+
+
+def _shortint_op(opname: str):
+    def op(sk_handle: int, lhs: int, rhs: int) -> tuple[int, int]:
+        try:
+            sk = _get(sk_handle)
+            return OK, _new(getattr(sk, opname)(_get(lhs), _get(rhs)))
+        except Exception:
+            return ERR, 0
+    return op
+
+
+shortint_add = _shortint_op("add")
+shortint_sub = _shortint_op("sub")
+shortint_mul = _shortint_op("mul_lsb")
+shortint_bitand = _shortint_op("bitand")
+shortint_bitxor = _shortint_op("bitxor")
+shortint_greater = _shortint_op("greater")
+
+
+def shortint_scalar_add(sk_handle: int, lhs: int, scalar: int) -> tuple[int, int]:
+    try:
+        return OK, _new(_get(sk_handle).scalar_add(_get(lhs), int(scalar)))
     except Exception:
         return ERR, 0
 
@@ -138,10 +280,10 @@ def serialize(handle: int) -> tuple[int, bytes]:
         return ERR, b""
 
 
-def deserialize_fheuint8(data: bytes) -> tuple[int, int]:
+def deserialize_shortint(data: bytes) -> tuple[int, int]:
     import io
     from .utils import load
     try:
-        return OK, _new(hlapi.FheUint8(load(io.BytesIO(data))))
+        return OK, _new(load(io.BytesIO(data)))
     except Exception:
         return ERR, 0

@@ -320,6 +320,14 @@ TEST_PARAMS_SHORTINT = ClassicPBSParameters(
     carry_modulus=4,
 )
 
+# 1-bit message + 4x carry: the internal representation for the shortint
+# Trivium/Kreyvium streams (the reference uses PARAM_MESSAGE_1_CARRY_1 and
+# tolerates degree overflow through the parity LUT's anti-periodicity; with
+# exact degree tracking a 2-bit carry headroom keeps every sum in range)
+TEST_PARAMS_TRIVIUM = dataclasses.replace(
+    TEST_PARAMS_SHORTINT, name="TEST_PARAMS_TRIVIUM",
+    message_modulus=2, carry_modulus=4)
+
 TEST_PARAMS_BOOLEAN = BooleanParameters(
     name="TEST_PARAMS_BOOLEAN",
     lwe_dimension=16,

@@ -165,48 +165,173 @@ tfhe_status tfhe_destroy(tfhe_handle h) {
   return unpack(PyObject_CallMethod(g_mod, "destroy", "K", h), nullptr);
 }
 
-tfhe_status tfhe_fheuint8_try_encrypt_with_client_key_u8(uint8_t value,
-                                                         tfhe_handle ck,
-                                                         tfhe_handle *out) {
-  Gil gil;
-  return unpack(PyObject_CallMethod(
-                    g_mod, "fheuint8_try_encrypt_with_client_key", "KK",
-                    (uint64_t)value, ck),
-                out);
-}
-
-tfhe_status tfhe_fheuint8_decrypt(tfhe_handle ct, tfhe_handle ck,
-                                  uint8_t *out) {
-  Gil gil;
-  uint64_t v = 0;
-  tfhe_status st = unpack(
-      PyObject_CallMethod(g_mod, "fheuint8_decrypt", "KK", ct, ck), &v);
-  if (st == 0 && out) *out = (uint8_t)v;
-  return st;
-}
-
 #define TFHE_BINOP(cname, pyname)                                             \
   tfhe_status cname(tfhe_handle lhs, tfhe_handle rhs, tfhe_handle *out) {     \
     Gil gil;                                                                  \
     return unpack(PyObject_CallMethod(g_mod, pyname, "KK", lhs, rhs), out);   \
   }
 
-TFHE_BINOP(tfhe_fheuint8_add, "fheuint8_add")
-TFHE_BINOP(tfhe_fheuint8_sub, "fheuint8_sub")
-TFHE_BINOP(tfhe_fheuint8_mul, "fheuint8_mul")
-TFHE_BINOP(tfhe_fheuint8_bitand, "fheuint8_bitand")
-TFHE_BINOP(tfhe_fheuint8_bitor, "fheuint8_bitor")
-TFHE_BINOP(tfhe_fheuint8_bitxor, "fheuint8_bitxor")
-TFHE_BINOP(tfhe_fheuint8_eq, "fheuint8_eq")
-TFHE_BINOP(tfhe_fheuint8_le, "fheuint8_le")
+/* Stamp a full FheUintN function family (reference c_api macro expansion
+ * across integer widths, tfhe/src/c_api/high_level_api/integers/). */
+#define TFHE_FHEUINT_FAMILY(N, ctype)                                         \
+  tfhe_status tfhe_fheuint##N##_try_encrypt_with_client_key_u##N(             \
+      ctype value, tfhe_handle ck, tfhe_handle *out) {                        \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(                                        \
+                      g_mod, "fheuint" #N "_try_encrypt_with_client_key",     \
+                      "KK", (uint64_t)value, ck),                             \
+                  out);                                                       \
+  }                                                                           \
+  tfhe_status tfhe_fheuint##N##_decrypt(tfhe_handle ct, tfhe_handle ck,       \
+                                        ctype *out) {                         \
+    Gil gil;                                                                  \
+    uint64_t v = 0;                                                           \
+    tfhe_status st = unpack(                                                  \
+        PyObject_CallMethod(g_mod, "fheuint" #N "_decrypt", "KK", ct, ck),    \
+        &v);                                                                  \
+    if (st == 0 && out) *out = (ctype)v;                                      \
+    return st;                                                                \
+  }                                                                           \
+  tfhe_status tfhe_fheuint##N##_scalar_add(tfhe_handle lhs, ctype scalar,     \
+                                           tfhe_handle *out) {                \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(g_mod, "fheuint" #N "_scalar_add",      \
+                                      "KK", lhs, (uint64_t)scalar),           \
+                  out);                                                       \
+  }                                                                           \
+  tfhe_status tfhe_deserialize_fheuint##N(const uint8_t *data, size_t len,    \
+                                          tfhe_handle *out) {                 \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(g_mod, "deserialize_fheuint" #N,        \
+                                      "y#", (const char *)data,               \
+                                      (Py_ssize_t)len),                       \
+                  out);                                                       \
+  }                                                                           \
+  TFHE_BINOP(tfhe_fheuint##N##_add, "fheuint" #N "_add")                      \
+  TFHE_BINOP(tfhe_fheuint##N##_sub, "fheuint" #N "_sub")                      \
+  TFHE_BINOP(tfhe_fheuint##N##_mul, "fheuint" #N "_mul")                      \
+  TFHE_BINOP(tfhe_fheuint##N##_bitand, "fheuint" #N "_bitand")                \
+  TFHE_BINOP(tfhe_fheuint##N##_bitor, "fheuint" #N "_bitor")                  \
+  TFHE_BINOP(tfhe_fheuint##N##_bitxor, "fheuint" #N "_bitxor")                \
+  TFHE_BINOP(tfhe_fheuint##N##_eq, "fheuint" #N "_eq")                        \
+  TFHE_BINOP(tfhe_fheuint##N##_le, "fheuint" #N "_le")
 
+TFHE_FHEUINT_FAMILY(8, uint8_t)
+TFHE_FHEUINT_FAMILY(16, uint16_t)
+TFHE_FHEUINT_FAMILY(32, uint32_t)
+TFHE_FHEUINT_FAMILY(64, uint64_t)
+
+#undef TFHE_FHEUINT_FAMILY
 #undef TFHE_BINOP
 
-tfhe_status tfhe_fheuint8_scalar_add(tfhe_handle lhs, uint8_t scalar,
-                                     tfhe_handle *out) {
+/* boolean scheme (reference c_api/boolean/) ------------------------------- */
+
+tfhe_status tfhe_boolean_gen_keys(const char *param_set_name, uint64_t seed,
+                                  tfhe_handle *client_key,
+                                  tfhe_handle *server_key) {
   Gil gil;
-  return unpack(PyObject_CallMethod(g_mod, "fheuint8_scalar_add", "KK", lhs,
-                                    (uint64_t)scalar),
+  return unpack(PyObject_CallMethod(g_mod, "boolean_gen_keys", "sK",
+                                    param_set_name, seed),
+                client_key, server_key);
+}
+
+tfhe_status tfhe_boolean_encrypt(int value, tfhe_handle ck,
+                                 tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "boolean_encrypt", "KK",
+                                    (uint64_t)(value != 0), (uint64_t)ck),
+                out);
+}
+
+tfhe_status tfhe_boolean_decrypt(tfhe_handle ct, tfhe_handle ck, int *out) {
+  Gil gil;
+  uint64_t v = 0;
+  tfhe_status st = unpack(
+      PyObject_CallMethod(g_mod, "boolean_decrypt", "KK", ct, ck), &v);
+  if (st == 0 && out) *out = (int)v;
+  return st;
+}
+
+#define TFHE_BOOL_GATE(cname, pyname)                                         \
+  tfhe_status cname(tfhe_handle sk, tfhe_handle lhs, tfhe_handle rhs,         \
+                    tfhe_handle *out) {                                       \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(g_mod, pyname, "KKK", sk, lhs, rhs),    \
+                  out);                                                       \
+  }
+
+TFHE_BOOL_GATE(tfhe_boolean_and, "boolean_and")
+TFHE_BOOL_GATE(tfhe_boolean_or, "boolean_or")
+TFHE_BOOL_GATE(tfhe_boolean_xor, "boolean_xor")
+TFHE_BOOL_GATE(tfhe_boolean_nand, "boolean_nand")
+TFHE_BOOL_GATE(tfhe_boolean_nor, "boolean_nor")
+TFHE_BOOL_GATE(tfhe_boolean_xnor, "boolean_xnor")
+
+#undef TFHE_BOOL_GATE
+
+tfhe_status tfhe_boolean_not(tfhe_handle sk, tfhe_handle ct,
+                             tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "boolean_not", "KK", sk, ct), out);
+}
+
+tfhe_status tfhe_boolean_mux(tfhe_handle sk, tfhe_handle cond,
+                             tfhe_handle then_ct, tfhe_handle else_ct,
+                             tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "boolean_mux", "KKKK", sk, cond,
+                                    then_ct, else_ct),
+                out);
+}
+
+/* shortint scheme (reference c_api/shortint/) ------------------------------ */
+
+tfhe_status tfhe_shortint_gen_keys(const char *param_set_name, uint64_t seed,
+                                   tfhe_handle *client_key,
+                                   tfhe_handle *server_key) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "shortint_gen_keys", "sK",
+                                    param_set_name, seed),
+                client_key, server_key);
+}
+
+tfhe_status tfhe_shortint_encrypt(uint64_t value, tfhe_handle ck,
+                                  tfhe_handle *out) {
+  Gil gil;
+  return unpack(
+      PyObject_CallMethod(g_mod, "shortint_encrypt", "KK", value, (uint64_t)ck),
+      out);
+}
+
+tfhe_status tfhe_shortint_decrypt(tfhe_handle ct, tfhe_handle ck,
+                                  uint64_t *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "shortint_decrypt", "KK", ct, ck),
+                out);
+}
+
+#define TFHE_SHORTINT_OP(cname, pyname)                                       \
+  tfhe_status cname(tfhe_handle sk, tfhe_handle lhs, tfhe_handle rhs,         \
+                    tfhe_handle *out) {                                       \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(g_mod, pyname, "KKK", sk, lhs, rhs),    \
+                  out);                                                       \
+  }
+
+TFHE_SHORTINT_OP(tfhe_shortint_add, "shortint_add")
+TFHE_SHORTINT_OP(tfhe_shortint_sub, "shortint_sub")
+TFHE_SHORTINT_OP(tfhe_shortint_mul, "shortint_mul")
+TFHE_SHORTINT_OP(tfhe_shortint_bitand, "shortint_bitand")
+TFHE_SHORTINT_OP(tfhe_shortint_bitxor, "shortint_bitxor")
+TFHE_SHORTINT_OP(tfhe_shortint_greater, "shortint_greater")
+
+#undef TFHE_SHORTINT_OP
+
+tfhe_status tfhe_shortint_scalar_add(tfhe_handle sk, tfhe_handle lhs,
+                                     uint64_t scalar, tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "shortint_scalar_add", "KKK", sk,
+                                    lhs, scalar),
                 out);
 }
 
@@ -244,14 +369,6 @@ tfhe_status tfhe_serialize(tfhe_handle h, uint8_t **out, size_t *len) {
   }
   Py_DECREF(res);
   return st;
-}
-
-tfhe_status tfhe_deserialize_fheuint8(const uint8_t *data, size_t len,
-                                      tfhe_handle *out) {
-  Gil gil;
-  return unpack(PyObject_CallMethod(g_mod, "deserialize_fheuint8", "y#",
-                                    (const char *)data, (Py_ssize_t)len),
-                out);
 }
 
 void tfhe_buffer_destroy(uint8_t *buf) { std::free(buf); }

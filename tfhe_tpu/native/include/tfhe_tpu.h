@@ -43,36 +43,86 @@ tfhe_status tfhe_generate_keys(tfhe_handle config, uint64_t seed,
 tfhe_status tfhe_set_server_key(tfhe_handle server_key);
 tfhe_status tfhe_destroy(tfhe_handle h);
 
-/* FheUint8 (the other widths follow the same pattern server-side) -------- */
-tfhe_status tfhe_fheuint8_try_encrypt_with_client_key_u8(uint8_t value,
-                                                         tfhe_handle client_key,
-                                                         tfhe_handle *out);
-tfhe_status tfhe_fheuint8_decrypt(tfhe_handle ct, tfhe_handle client_key,
-                                  uint8_t *out);
-tfhe_status tfhe_fheuint8_add(tfhe_handle lhs, tfhe_handle rhs,
-                              tfhe_handle *out);
-tfhe_status tfhe_fheuint8_sub(tfhe_handle lhs, tfhe_handle rhs,
-                              tfhe_handle *out);
-tfhe_status tfhe_fheuint8_mul(tfhe_handle lhs, tfhe_handle rhs,
-                              tfhe_handle *out);
-tfhe_status tfhe_fheuint8_bitand(tfhe_handle lhs, tfhe_handle rhs,
+/* FheUint widths (reference c_api covers u8..u256; u8/16/32/64 here) ------ */
+#define TFHE_TPU_DECLARE_FHEUINT(N, ctype)                                    \
+  tfhe_status tfhe_fheuint##N##_try_encrypt_with_client_key_u##N(             \
+      ctype value, tfhe_handle client_key, tfhe_handle *out);                 \
+  tfhe_status tfhe_fheuint##N##_decrypt(tfhe_handle ct,                       \
+                                        tfhe_handle client_key, ctype *out);  \
+  tfhe_status tfhe_fheuint##N##_add(tfhe_handle, tfhe_handle, tfhe_handle *); \
+  tfhe_status tfhe_fheuint##N##_sub(tfhe_handle, tfhe_handle, tfhe_handle *); \
+  tfhe_status tfhe_fheuint##N##_mul(tfhe_handle, tfhe_handle, tfhe_handle *); \
+  tfhe_status tfhe_fheuint##N##_bitand(tfhe_handle, tfhe_handle,              \
+                                       tfhe_handle *);                        \
+  tfhe_status tfhe_fheuint##N##_bitor(tfhe_handle, tfhe_handle,               \
+                                      tfhe_handle *);                         \
+  tfhe_status tfhe_fheuint##N##_bitxor(tfhe_handle, tfhe_handle,              \
+                                       tfhe_handle *);                        \
+  tfhe_status tfhe_fheuint##N##_eq(tfhe_handle, tfhe_handle, tfhe_handle *);  \
+  tfhe_status tfhe_fheuint##N##_le(tfhe_handle, tfhe_handle, tfhe_handle *);  \
+  tfhe_status tfhe_fheuint##N##_scalar_add(tfhe_handle lhs, ctype scalar,     \
+                                           tfhe_handle *out);                 \
+  tfhe_status tfhe_deserialize_fheuint##N(const uint8_t *data, size_t len,    \
+                                          tfhe_handle *out);
+
+TFHE_TPU_DECLARE_FHEUINT(8, uint8_t)
+TFHE_TPU_DECLARE_FHEUINT(16, uint16_t)
+TFHE_TPU_DECLARE_FHEUINT(32, uint32_t)
+TFHE_TPU_DECLARE_FHEUINT(64, uint64_t)
+
+#undef TFHE_TPU_DECLARE_FHEUINT
+
+/* boolean scheme (reference c_api/boolean/) ------------------------------- */
+tfhe_status tfhe_boolean_gen_keys(const char *param_set_name, uint64_t seed,
+                                  tfhe_handle *client_key,
+                                  tfhe_handle *server_key);
+tfhe_status tfhe_boolean_encrypt(int value, tfhe_handle client_key,
                                  tfhe_handle *out);
-tfhe_status tfhe_fheuint8_bitor(tfhe_handle lhs, tfhe_handle rhs,
-                                tfhe_handle *out);
-tfhe_status tfhe_fheuint8_bitxor(tfhe_handle lhs, tfhe_handle rhs,
-                                 tfhe_handle *out);
-tfhe_status tfhe_fheuint8_eq(tfhe_handle lhs, tfhe_handle rhs,
+tfhe_status tfhe_boolean_decrypt(tfhe_handle ct, tfhe_handle client_key,
+                                 int *out);
+tfhe_status tfhe_boolean_and(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                             tfhe_handle *);
+tfhe_status tfhe_boolean_or(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                            tfhe_handle *);
+tfhe_status tfhe_boolean_xor(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                             tfhe_handle *);
+tfhe_status tfhe_boolean_nand(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                              tfhe_handle *);
+tfhe_status tfhe_boolean_nor(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                             tfhe_handle *);
+tfhe_status tfhe_boolean_xnor(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                              tfhe_handle *);
+tfhe_status tfhe_boolean_not(tfhe_handle sk, tfhe_handle ct, tfhe_handle *out);
+tfhe_status tfhe_boolean_mux(tfhe_handle sk, tfhe_handle cond,
+                             tfhe_handle then_ct, tfhe_handle else_ct,
                              tfhe_handle *out);
-tfhe_status tfhe_fheuint8_le(tfhe_handle lhs, tfhe_handle rhs,
-                             tfhe_handle *out);
-tfhe_status tfhe_fheuint8_scalar_add(tfhe_handle lhs, uint8_t scalar,
-                                     tfhe_handle *out);
+
+/* shortint scheme (reference c_api/shortint/) ------------------------------ */
+tfhe_status tfhe_shortint_gen_keys(const char *param_set_name, uint64_t seed,
+                                   tfhe_handle *client_key,
+                                   tfhe_handle *server_key);
+tfhe_status tfhe_shortint_encrypt(uint64_t value, tfhe_handle client_key,
+                                  tfhe_handle *out);
+tfhe_status tfhe_shortint_decrypt(tfhe_handle ct, tfhe_handle client_key,
+                                  uint64_t *out);
+tfhe_status tfhe_shortint_add(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                              tfhe_handle *);
+tfhe_status tfhe_shortint_sub(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                              tfhe_handle *);
+tfhe_status tfhe_shortint_mul(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                              tfhe_handle *);
+tfhe_status tfhe_shortint_bitand(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                                 tfhe_handle *);
+tfhe_status tfhe_shortint_bitxor(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                                 tfhe_handle *);
+tfhe_status tfhe_shortint_greater(tfhe_handle sk, tfhe_handle, tfhe_handle,
+                                  tfhe_handle *);
+tfhe_status tfhe_shortint_scalar_add(tfhe_handle sk, tfhe_handle lhs,
+                                     uint64_t scalar, tfhe_handle *out);
 
 /* serialization ---------------------------------------------------------- */
 /* On success *out is malloc'd (caller frees with tfhe_buffer_destroy). */
 tfhe_status tfhe_serialize(tfhe_handle h, uint8_t **out, size_t *len);
-tfhe_status tfhe_deserialize_fheuint8(const uint8_t *data, size_t len,
-                                      tfhe_handle *out);
 void tfhe_buffer_destroy(uint8_t *buf);
 
 #ifdef __cplusplus

@@ -12,9 +12,11 @@ the batch in one XLA program.
 """
 from .ciphertext import CheckError, Ciphertext, MaxNoiseLevel, NoiseLevel
 from .client_key import ClientKey, gen_keys
+from .key_switching_key import KeySwitchingKey, generate_key_switching_key
 from .server_key import (CompressedServerKey, LookupTable, MaxDegree,
                          ServerKey, gen_compressed_server_key)
 
 __all__ = ["CheckError", "Ciphertext", "ClientKey", "ServerKey",
-           "LookupTable", "MaxDegree", "MaxNoiseLevel", "NoiseLevel",
-           "gen_keys", "CompressedServerKey", "gen_compressed_server_key"]
+           "KeySwitchingKey", "LookupTable", "MaxDegree", "MaxNoiseLevel",
+           "NoiseLevel", "gen_keys", "generate_key_switching_key",
+           "CompressedServerKey", "gen_compressed_server_key"]
