@@ -45,6 +45,36 @@ def test_regex_engine(ikeys):
     assert match("ab?", "a") is True
 
 
+def test_regex_engine_extended_syntax(ikeys):
+    """Reference parser.rs feature set: /pat/ substring semantics, ^/$
+    anchors, `i` flag, escapes, negated classes, counted repetition."""
+    ck, sk = ikeys
+
+    def match(pattern, text):
+        enc = [ck.encrypt(jnp.asarray(ord(c)), seed=400 + i)
+               for i, c in enumerate(text)]
+        out = regex_engine.regex_match_radix(sk, pattern, enc)
+        return bool(int(np.asarray(ck.key.decrypt(out))) & 1)
+
+    # substring (has_match) semantics and anchors
+    assert match("/b/", "abc") is True
+    assert match("/^b/", "abc") is False
+    assert match("/c$/", "abc") is True
+    assert match("/b$/", "abc") is False
+    # case-insensitive flag
+    assert match("/^aB$/i", "Ab") is True
+    assert match("/^aB$/", "Ab") is False
+    # escapes (literal dot, not any-char)
+    assert match(r"/^a\.$/", "ab") is False
+    # negated classes
+    assert match("/^a[^bc]$/", "ad") is True
+    assert match("/^a[^bc]$/", "ab") is False
+    # counted repetition {n}, {n,m}, {n,}
+    assert match("/^a{2}$/", "aa") is True
+    assert match("/^a{1,2}b$/", "aab") is True
+    assert match("/^a{2,}$/", "a") is False
+
+
 def test_sha256_word_primitives():
     ck, sk = B.gen_keys(TEST_PARAMS_BOOLEAN, seed=72)
     params = ck.params

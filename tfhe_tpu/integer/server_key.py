@@ -86,11 +86,16 @@ class ServerKey:
         lut_carry = self.key.generate_lookup_table(lambda x: x // m)
         out = []
         carry = None
-        for b in ct.blocks:
+        last = len(ct.blocks) - 1
+        for i, b in enumerate(ct.blocks):
             if carry is not None:
                 b = self.key.unchecked_add(b, carry)
             if b.degree < m:
                 out.append(b)
+                carry = None
+                continue
+            if i == last:  # the top block's carry is discarded: 1 LUT not 2
+                out.append(self._apply_luts_stacked([b], [lut_msg])[0])
                 carry = None
                 continue
             msg, carry = self._apply_luts_stacked([b, b], [lut_msg, lut_carry])
@@ -556,8 +561,15 @@ class ServerKey:
         outs = self._apply_luts_stacked(sel_a + sel_b,
                                         [lut_then] * len(sel_a) + [lut_else] * len(sel_b))
         nb = a.num_blocks
-        blocks = [self.key.unchecked_add(outs[i], outs[nb + i]) for i in range(nb)]
-        return self.full_propagate(type(a)(blocks=blocks))
+        # the two selections are EXCLUSIVE (cond picks one, the other is 0),
+        # so the value bound is max(then, else), not the sum — declaring the
+        # true degree keeps carries empty and no propagation is needed
+        # (the old degree-sum bookkeeping forced a full ripple propagate per
+        # cmux, which dominated every barrel-shift/rotate/min/max/div layer)
+        blocks = [self.key.unchecked_add(outs[i], outs[nb + i]).with_(
+            degree=max(outs[i].degree, outs[nb + i].degree))
+            for i in range(nb)]
+        return type(a)(blocks=blocks)
 
     if_then_else = cmux
     if_then_else_parallelized = cmux
@@ -653,12 +665,15 @@ class ServerKey:
                 lambda x, b=bit: (x >> b) & 1)))
         blocks = [amount.blocks[blk] if blk < amount.num_blocks else None
                   for blk, _ in luts]
-        outs = []
-        for (blk, lut), src in zip(luts, blocks):
-            if src is None:
-                outs.append(None)
-            else:
-                outs.append(self.key.apply_lookup_table(src, lut))
+        # one stacked PBS for every selector bit (was one call per bit)
+        live = [(i, b, lut) for i, ((blk, lut), b)
+                in enumerate(zip(luts, blocks)) if b is not None]
+        outs = [None] * len(luts)
+        if live:
+            res = self._apply_luts_stacked([b for _, b, _ in live],
+                                           [lut for _, _, lut in live])
+            for (i, _, _), r in zip(live, res):
+                outs[i] = r
         return outs
 
     def left_shift(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:

@@ -39,6 +39,12 @@ BASELINES_MS = {
     "uint32_mul": 333.0,
     "uint32_bitand": 21.0,
     "uint32_eq": 57.4,
+    "uint32_gt": 98.8,          # Cmp row
+    "uint32_max": 135.0,
+    "uint32_neg": 129.0,
+    "uint32_shl": 180.0,        # shift by encrypted amount
+    "uint32_rotl": 182.0,       # rotate by encrypted amount
+    "uint32_div": 4810.0,       # div_rem
 }
 
 
@@ -80,7 +86,14 @@ def bench_boolean_gate(batch, iters, params="DEFAULT_PARAMETERS_KS_PBS"):
     cpu = jax.local_devices(backend="cpu")[0]
     dev = jax.devices()[0]
     with jax.default_device(cpu):
-        ck, sk = boolean.gen_keys(params, seed=1)
+        if isinstance(params, str):
+            from tfhe_tpu.utils.keycache import KeyCache
+            kc = KeyCache(root=os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "keys_cache"))
+            ck, sk = kc.get(f"boolean_{params}_seed1",
+                            lambda: boolean.gen_keys(params, seed=1))
+        else:
+            ck, sk = boolean.gen_keys(params, seed=1)
         rng = np.random.default_rng(0)
         a_clear = rng.integers(0, 2, batch).astype(bool)
         b_clear = rng.integers(0, 2, batch).astype(bool)
@@ -111,7 +124,14 @@ def bench_shortint_add(batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     cpu = jax.local_devices(backend="cpu")[0]
     dev = jax.devices()[0]
     with jax.default_device(cpu):
-        ck, sk = shortint.gen_keys(params, seed=1)
+        if isinstance(params, str):
+            from tfhe_tpu.utils.keycache import KeyCache
+            kc = KeyCache(root=os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "keys_cache"))
+            ck, sk = kc.get(f"{params}_seed1",
+                            lambda: shortint.gen_keys(params, seed=1))
+        else:
+            ck, sk = shortint.gen_keys(params, seed=1)
         m = ck.params.message_modulus
         a_clear = np.arange(batch) % m
         b_clear = (np.arange(batch) * 3 + 1) % m
@@ -138,15 +158,35 @@ def bench_shortint_add(batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     return dt * 1000 / batch, ok, {"params": str(params), "batch": batch}
 
 
+def _cached_integer_keys(params, nb):
+    """Disk key cache (reference keycache test fixture): integer keys share
+    the shortint cache entry bench.py populates."""
+    if not isinstance(params, str):
+        return integer.gen_keys(params, num_blocks=nb, seed=1)
+    from tfhe_tpu.integer.client_key import RadixClientKey
+    from tfhe_tpu.utils.keycache import KeyCache
+    kc = KeyCache(root=os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "keys_cache"))
+    ck, sk = kc.get(f"{params}_seed1",
+                    lambda: shortint.gen_keys(params, seed=1))
+    return (RadixClientKey(key=ck, num_blocks=nb),
+            integer.ServerKey(key=sk))
+
+
 def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     cpu = jax.local_devices(backend="cpu")[0]
     dev = jax.devices()[0]
     nb = 16  # 32 bits / 2-bit blocks
     with jax.default_device(cpu):
-        rck, rsk = integer.gen_keys(params, num_blocks=nb, seed=1)
+        rck, rsk = _cached_integer_keys(params, nb)
         rng = np.random.default_rng(0)
         a_clear = rng.integers(0, 1 << 32, batch, dtype=np.uint64)
-        b_clear = rng.integers(0, 1 << 32, batch, dtype=np.uint64)
+        if op in ("uint32_shl", "uint32_rotl"):
+            b_clear = rng.integers(0, 32, batch, dtype=np.uint64)
+        elif op == "uint32_div":
+            b_clear = rng.integers(1, 1 << 32, batch, dtype=np.uint64)
+        else:
+            b_clear = rng.integers(0, 1 << 32, batch, dtype=np.uint64)
         a = rck.encrypt(jnp.asarray(a_clear), seed=2)
         b = rck.encrypt(jnp.asarray(b_clear), seed=3)
     rsk = jax.device_put(rsk, dev)
@@ -158,6 +198,14 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
         "uint32_mul": lambda x, y: (x * y) & mask,
         "uint32_bitand": lambda x, y: x & y,
         "uint32_eq": lambda x, y: (x == y).astype(np.uint64),
+        "uint32_gt": lambda x, y: (x > y).astype(np.uint64),
+        "uint32_max": np.maximum,
+        "uint32_neg": lambda x, y: (-(x.astype(np.int64))).astype(
+            np.uint64) & mask,
+        "uint32_shl": lambda x, y: (x << (y % 32)) & mask,
+        "uint32_rotl": lambda x, y: ((x << (y % 32)) | (
+            (x & mask) >> (32 - (y % 32)) % 32)) & mask,
+        "uint32_div": lambda x, y: x // y,
     }[op]
 
     @jax.jit
@@ -176,12 +224,24 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
             return _stack(key.mul(ca, cb))
         if op == "uint32_bitand":
             return _stack(key.bitand(ca, cb))
+        if op == "uint32_gt":
+            return jnp.stack([key.gt(ca, cb).block.lwe.data])
+        if op == "uint32_max":
+            return _stack(key.max(ca, cb))
+        if op == "uint32_neg":
+            return _stack(key.neg(ca))
+        if op == "uint32_shl":
+            return _stack(key.left_shift(ca, cb))
+        if op == "uint32_rotl":
+            return _stack(key.rotate_left(ca, cb))
+        if op == "uint32_div":
+            return _stack(key.div(ca, cb))
         return jnp.stack([key.eq(ca, cb).block.lwe.data])
 
     def verify(out):
         with jax.default_device(cpu):
             host = jax.device_put(out, cpu)
-            if op == "uint32_eq":
+            if op in ("uint32_eq", "uint32_gt"):
                 blk = ShortCt(lwe=LweCiphertext(data=host[0]), degree=1,
                               message_modulus=4, carry_modulus=4)
                 dec = np.asarray(rck.key.decrypt(blk)) & 1
@@ -207,9 +267,13 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--test-params", action="store_true",
                     help="tiny insecure sets + CPU (harness smoke test)")
+    ap.add_argument("--multibit", action="store_true",
+                    help="use PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS "
+                         "(the faster bootstrap key; metric suffixed _mb)")
     args = ap.parse_args()
     batch = args.batch or (512 if args.op in ("boolean_gate", "shortint_add")
                            else 256 if args.op == "uint32_add"   # ripple:
+                           else 8 if args.op == "uint32_div"     # huge op
                            else 32)   # 2 luts x 256 ops = one full PBS batch
 
     t0 = time.time()
@@ -219,6 +283,8 @@ def main():
                                           TEST_PARAMS_SHORTINT)
         kw["params"] = (TEST_PARAMS_BOOLEAN if args.op == "boolean_gate"
                         else TEST_PARAMS_SHORTINT)
+    elif args.multibit:
+        kw["params"] = "PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS"
     if args.op == "boolean_gate":
         ms, ok, meta = bench_boolean_gate(batch, args.iters, **kw)
     elif args.op == "shortint_add":
@@ -227,7 +293,8 @@ def main():
         ms, ok, meta = bench_uint32(args.op, batch, args.iters, **kw)
     print(f"# total wall {time.time() - t0:.1f}s", file=sys.stderr)
 
-    rec = {"metric": args.op, "value": round(ms, 3), "unit": "ms/op",
+    metric = args.op + ("_mb" if args.multibit else "")
+    rec = {"metric": metric, "value": round(ms, 3), "unit": "ms/op",
            "vs_baseline": round(BASELINES_MS[args.op] / ms, 2),
            "baseline_ms": BASELINES_MS[args.op], "correct": ok, **meta}
     print(json.dumps(rec))
@@ -239,7 +306,7 @@ def main():
     except (OSError, ValueError):
         all_recs = {}
     if not args.test_params:
-        all_recs[args.op] = rec
+        all_recs[metric] = rec
         with open(path, "w") as f:
             json.dump(all_recs, f, indent=1)
 
