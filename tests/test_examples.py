@@ -51,6 +51,10 @@ def test_regex_engine_extended_syntax(ikeys):
     ck, sk = ikeys
 
     def match(pattern, text):
+        # each match compiles many small XLA programs; clearing between
+        # patterns avoids the documented XLA-CPU cumulative-compile segfault
+        import jax
+        jax.clear_caches()
         enc = [ck.encrypt(jnp.asarray(ord(c)), seed=400 + i)
                for i, c in enumerate(text)]
         out = regex_engine.regex_match_radix(sk, pattern, enc)

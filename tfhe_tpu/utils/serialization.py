@@ -33,6 +33,7 @@ def _register_known_types():
         return
     from ..core import entities as E
     from ..core.algorithms import seeded as S
+    from ..core.algorithms.multi_bit import NttMultiBitBootstrapKey
     from ..core.algorithms.public_key import (LweCompactPublicKey,
                                               LwePublicKey)
     from ..core.params import (BooleanParameters, ClassicPBSParameters,
@@ -62,7 +63,7 @@ def _register_known_types():
                 S.SeededLweBootstrapKey, S.SeededLweKeyswitchKey,
                 S.SeededGgswCiphertextList, S.SeededLweMultiBitBootstrapKey,
                 S.SeededLwePackingKeyswitchKey, S.SeededLwePublicKey,
-                LwePublicKey, LweCompactPublicKey,
+                LwePublicKey, LweCompactPublicKey, NttMultiBitBootstrapKey,
                 S.SeededLweCompactPublicKey,
                 DecompParams, ClassicPBSParameters, MultiBitPBSParameters,
                 WopbsParameters, BooleanParameters, GadgetParameters,

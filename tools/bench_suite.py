@@ -45,6 +45,7 @@ BASELINES_MS = {
     "uint32_shl": 180.0,        # shift by encrypted amount
     "uint32_rotl": 182.0,       # rotate by encrypted amount
     "uint32_div": 4810.0,       # div_rem
+    "uint8_div": 729.0,         # div_rem at 8 bits (4 blocks)
 }
 
 
@@ -176,23 +177,24 @@ def _cached_integer_keys(params, nb):
 def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     cpu = jax.local_devices(backend="cpu")[0]
     dev = jax.devices()[0]
-    nb = 16  # 32 bits / 2-bit blocks
+    nb = 4 if op.startswith("uint8") else 16  # width / 2-bit blocks
+    width = nb * 2
     with jax.default_device(cpu):
         rck, rsk = _cached_integer_keys(params, nb)
         rng = np.random.default_rng(0)
-        a_clear = rng.integers(0, 1 << 32, batch, dtype=np.uint64)
+        a_clear = rng.integers(0, 1 << width, batch, dtype=np.uint64)
         if op in ("uint32_shl", "uint32_rotl"):
             b_clear = rng.integers(0, 32, batch, dtype=np.uint64)
-        elif op == "uint32_div":
-            b_clear = rng.integers(1, 1 << 32, batch, dtype=np.uint64)
+        elif op.endswith("_div"):
+            b_clear = rng.integers(1, 1 << width, batch, dtype=np.uint64)
         else:
-            b_clear = rng.integers(0, 1 << 32, batch, dtype=np.uint64)
+            b_clear = rng.integers(0, 1 << width, batch, dtype=np.uint64)
         a = rck.encrypt(jnp.asarray(a_clear), seed=2)
         b = rck.encrypt(jnp.asarray(b_clear), seed=3)
     rsk = jax.device_put(rsk, dev)
     a_data = jax.device_put(_stack(a), dev)
     b_data = jax.device_put(_stack(b), dev)
-    mask = np.uint64(0xFFFFFFFF)
+    mask = np.uint64((1 << width) - 1)
     clear_fn = {
         "uint32_add": lambda x, y: (x + y) & mask,
         "uint32_mul": lambda x, y: (x * y) & mask,
@@ -206,6 +208,7 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
         "uint32_rotl": lambda x, y: ((x << (y % 32)) | (
             (x & mask) >> (32 - (y % 32)) % 32)) & mask,
         "uint32_div": lambda x, y: x // y,
+        "uint8_div": lambda x, y: x // y,
     }[op]
 
     @jax.jit
@@ -234,7 +237,7 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
             return _stack(key.left_shift(ca, cb))
         if op == "uint32_rotl":
             return _stack(key.rotate_left(ca, cb))
-        if op == "uint32_div":
+        if op.endswith("_div"):
             return _stack(key.div(ca, cb))
         return jnp.stack([key.eq(ca, cb).block.lwe.data])
 
@@ -274,6 +277,7 @@ def main():
     batch = args.batch or (512 if args.op in ("boolean_gate", "shortint_add")
                            else 256 if args.op == "uint32_add"   # ripple:
                            else 8 if args.op == "uint32_div"     # huge op
+                           else 64 if args.op == "uint8_div"
                            else 32)   # 2 luts x 256 ops = one full PBS batch
 
     t0 = time.time()

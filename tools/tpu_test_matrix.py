@@ -45,9 +45,13 @@ def main():
 
     t0 = time.time()
     with jax.default_device(cpu):
-        ck, sk = shortint.gen_keys(params, seed=11)
+        from tfhe_tpu.utils.keycache import KeyCache
+        kc = KeyCache(root=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "keys_cache"))
+        ck, sk = kc.get(f"{params.name}_seed11",
+                        lambda: shortint.gen_keys(params, seed=11))
     sk = jax.device_put(sk, dev)
-    print(f"# keygen {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"# keygen(+cache) {time.time() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(5)
 
@@ -116,8 +120,18 @@ def main():
                "results": results}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "TPU_TEST_MATRIX.json")
+    # merge: one entry per parameter set (the reference's parametrized
+    # matrix stamps a test per named set)
+    try:
+        with open(path) as f:
+            all_sets = json.load(f)
+        if "results" in all_sets:          # legacy single-set format
+            all_sets = {all_sets["params"]: all_sets}
+    except (OSError, ValueError):
+        all_sets = {}
+    all_sets[args.params] = summary
     with open(path, "w") as f:
-        json.dump(summary, f, indent=1)
+        json.dump(all_sets, f, indent=1)
     print(json.dumps(summary))
 
 
