@@ -117,6 +117,24 @@ int main(void) {
     CHECK(tfhe_destroy(r));
   }
 
+  /* signed integers through the ABI --------------------------------------- */
+  {
+    tfhe_handle x = 0, y = 0, r = 0, n = 0;
+    int32_t v = 0;
+    CHECK(tfhe_fheint32_try_encrypt_with_client_key_i32(-123456, ck, &x));
+    CHECK(tfhe_fheint32_try_encrypt_with_client_key_i32(100000, ck, &y));
+    CHECK(tfhe_fheint32_add(x, y, &r));
+    CHECK(tfhe_fheint32_decrypt(r, ck, &v));
+    assert(v == -23456);
+    CHECK(tfhe_fheint32_neg(x, &n));
+    CHECK(tfhe_fheint32_decrypt(n, ck, &v));
+    assert(v == 123456);
+    CHECK(tfhe_destroy(x));
+    CHECK(tfhe_destroy(y));
+    CHECK(tfhe_destroy(r));
+    CHECK(tfhe_destroy(n));
+  }
+
   /* boolean scheme through the ABI ---------------------------------------- */
   {
     tfhe_handle bck = 0, bsk = 0, t = 0, f = 0, g = 0, m = 0;

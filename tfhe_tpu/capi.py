@@ -141,6 +141,51 @@ for _bits in (8, 16, 32, 64):
     _register_width(_bits)
 
 
+def _register_signed_width(bits: int):
+    """fheint{bits}_* family (reference c_api signed integer types).
+    Values cross the ABI as two's-complement u64."""
+    cls = getattr(hlapi, f"FheInt{bits}")
+    g = globals()
+    pre = f"fheint{bits}_"
+    mask = (1 << bits) - 1
+
+    def encrypt(value: int, ck_handle: int, seed: int = 0) -> tuple[int, int]:
+        try:
+            v = int(value) & mask                  # two's complement in
+            if v >= 1 << (bits - 1):
+                v -= 1 << bits
+            ct = cls.encrypt(jnp.asarray(v, dtype=jnp.int64), _get(ck_handle),
+                             seed=seed)
+            return OK, _new(ct)
+        except Exception:
+            return ERR, 0
+
+    def decrypt(ct_handle: int, ck_handle: int) -> tuple[int, int]:
+        try:
+            v = int(_get(ct_handle).decrypt(_get(ck_handle)))
+            return OK, v & ((1 << 64) - 1)         # two's complement out
+        except Exception:
+            return ERR, 0
+
+    g[pre + "try_encrypt_with_client_key"] = encrypt
+    g[pre + "decrypt"] = decrypt
+    for cname, pyname in (("add", "__add__"), ("sub", "__sub__"),
+                          ("mul", "__mul__"), ("neg", "__neg__")):
+        if cname == "neg":
+            def neg(ct_handle: int) -> tuple[int, int]:
+                try:
+                    return OK, _new(-_get(ct_handle))
+                except Exception:
+                    return ERR, 0
+            g[pre + "neg"] = neg
+        else:
+            g[pre + cname] = _binop(pyname)
+
+
+for _bits in (32, 64):
+    _register_signed_width(_bits)
+
+
 # -- boolean surface (reference c_api/boolean/) ------------------------------
 
 

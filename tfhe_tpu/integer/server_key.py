@@ -270,28 +270,32 @@ class ServerKey:
     # ------------------------------------------------------------------
 
     def mul(self, a: RadixCiphertext, b: RadixCiphertext) -> RadixCiphertext:
-        """Schoolbook block multiplication with FULL-PRODUCT partials: one
-        bivariate PBS per (i, j) pair emits lsb + m·msb (value ≤ (m-1)², it
-        fits the carry space), so the msb needs no second PBS — it rides the
-        carry budget and the degree-aware accumulation propagates it into
-        place i+j+1 naturally.  ~1.9x fewer partial-product PBS than the
-        reference's separate lsb/msb fan-out (radix_parallel/mul.rs:329);
-        the top place uses the lsb-only LUT (its msb would be discarded).
-        All pairs run in ONE batched PBS."""
+        """Schoolbook block multiplication: all lsb/msb partial products in
+        ONE batched bivariate PBS, then chunked accumulation (reference
+        radix_parallel/mul.rs:329 fan-out becomes a batch axis).
+
+        Measured negative result (round 3): emitting the FULL product
+        lsb + m·msb with ONE PBS per pair (136 instead of 256 partials)
+        loses — the degree-9 partials exhaust the carry budget after ~1.6
+        additions instead of ~5, and the extra propagation extractions cost
+        more than the 120 saved partials (488 vs 431 ms/op on chip)."""
         a, b = self._maybe_propagate(a), self._maybe_propagate(b)
         nb = a.num_blocks
         m = self.msg_mod
         lut_lsb = self.key.generate_lookup_table(lambda x: ((x // m) * (x % m)) % m)
-        lut_full = self.key.generate_lookup_table(lambda x: (x // m) * (x % m))
+        lut_msb = self.key.generate_lookup_table(lambda x: ((x // m) * (x % m)) // m)
 
         pairs, luts, places = [], [], []
         for j in range(nb):
             for i in range(nb):
-                if i + j >= nb:
-                    continue
-                pairs.append(self.key.unchecked_bivariate_pack(a.blocks[i], b.blocks[j]))
-                luts.append(lut_lsb if i + j == nb - 1 else lut_full)
-                places.append(i + j)
+                if i + j < nb:
+                    pairs.append(self.key.unchecked_bivariate_pack(a.blocks[i], b.blocks[j]))
+                    luts.append(lut_lsb)
+                    places.append(i + j)
+                if i + j + 1 < nb:
+                    pairs.append(self.key.unchecked_bivariate_pack(a.blocks[i], b.blocks[j]))
+                    luts.append(lut_msb)
+                    places.append(i + j + 1)
         outs = self._apply_luts_stacked(pairs, luts)
 
         # group into radix partial ciphertexts by output place

@@ -224,6 +224,48 @@ TFHE_FHEUINT_FAMILY(64, uint64_t)
 #undef TFHE_FHEUINT_FAMILY
 #undef TFHE_BINOP
 
+/* FheInt widths (signed; two's-complement across the ABI) ----------------- */
+
+#define TFHE_FHEINT_FAMILY(N, ctype)                                          \
+  tfhe_status tfhe_fheint##N##_try_encrypt_with_client_key_i##N(              \
+      ctype value, tfhe_handle ck, tfhe_handle *out) {                        \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(                                        \
+                      g_mod, "fheint" #N "_try_encrypt_with_client_key",      \
+                      "KK", (uint64_t)value, ck),                             \
+                  out);                                                       \
+  }                                                                           \
+  tfhe_status tfhe_fheint##N##_decrypt(tfhe_handle ct, tfhe_handle ck,        \
+                                       ctype *out) {                          \
+    Gil gil;                                                                  \
+    uint64_t v = 0;                                                           \
+    tfhe_status st = unpack(                                                  \
+        PyObject_CallMethod(g_mod, "fheint" #N "_decrypt", "KK", ct, ck),     \
+        &v);                                                                  \
+    if (st == 0 && out) *out = (ctype)v;                                      \
+    return st;                                                                \
+  }                                                                           \
+  tfhe_status tfhe_fheint##N##_neg(tfhe_handle ct, tfhe_handle *out) {        \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(g_mod, "fheint" #N "_neg", "K", ct),    \
+                  out);                                                       \
+  }                                                                           \
+  TFHE_SIGNED_BINOP(tfhe_fheint##N##_add, "fheint" #N "_add")                 \
+  TFHE_SIGNED_BINOP(tfhe_fheint##N##_sub, "fheint" #N "_sub")                 \
+  TFHE_SIGNED_BINOP(tfhe_fheint##N##_mul, "fheint" #N "_mul")
+
+#define TFHE_SIGNED_BINOP(cname, pyname)                                      \
+  tfhe_status cname(tfhe_handle lhs, tfhe_handle rhs, tfhe_handle *out) {     \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(g_mod, pyname, "KK", lhs, rhs), out);   \
+  }
+
+TFHE_FHEINT_FAMILY(32, int32_t)
+TFHE_FHEINT_FAMILY(64, int64_t)
+
+#undef TFHE_FHEINT_FAMILY
+#undef TFHE_SIGNED_BINOP
+
 /* boolean scheme (reference c_api/boolean/) ------------------------------- */
 
 tfhe_status tfhe_boolean_gen_keys(const char *param_set_name, uint64_t seed,

@@ -72,6 +72,22 @@ TFHE_TPU_DECLARE_FHEUINT(64, uint64_t)
 
 #undef TFHE_TPU_DECLARE_FHEUINT
 
+/* FheInt widths (signed; two's-complement values across the ABI) ---------- */
+#define TFHE_TPU_DECLARE_FHEINT(N, ctype)                                     \
+  tfhe_status tfhe_fheint##N##_try_encrypt_with_client_key_i##N(              \
+      ctype value, tfhe_handle client_key, tfhe_handle *out);                 \
+  tfhe_status tfhe_fheint##N##_decrypt(tfhe_handle ct,                        \
+                                       tfhe_handle client_key, ctype *out);   \
+  tfhe_status tfhe_fheint##N##_add(tfhe_handle, tfhe_handle, tfhe_handle *);  \
+  tfhe_status tfhe_fheint##N##_sub(tfhe_handle, tfhe_handle, tfhe_handle *);  \
+  tfhe_status tfhe_fheint##N##_mul(tfhe_handle, tfhe_handle, tfhe_handle *);  \
+  tfhe_status tfhe_fheint##N##_neg(tfhe_handle ct, tfhe_handle *out);
+
+TFHE_TPU_DECLARE_FHEINT(32, int32_t)
+TFHE_TPU_DECLARE_FHEINT(64, int64_t)
+
+#undef TFHE_TPU_DECLARE_FHEINT
+
 /* boolean scheme (reference c_api/boolean/) ------------------------------- */
 tfhe_status tfhe_boolean_gen_keys(const char *param_set_name, uint64_t seed,
                                   tfhe_handle *client_key,

@@ -46,6 +46,7 @@ BASELINES_MS = {
     "uint32_rotl": 182.0,       # rotate by encrypted amount
     "uint32_div": 4810.0,       # div_rem
     "uint8_div": 729.0,         # div_rem at 8 bits (4 blocks)
+    "uint16_div": 1930.0,       # div_rem at 16 bits (8 blocks)
 }
 
 
@@ -177,7 +178,7 @@ def _cached_integer_keys(params, nb):
 def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     cpu = jax.local_devices(backend="cpu")[0]
     dev = jax.devices()[0]
-    nb = 4 if op.startswith("uint8") else 16  # width / 2-bit blocks
+    nb = {"uint8": 4, "uint16": 8}.get(op.split("_")[0], 16)  # 2-bit blocks
     width = nb * 2
     with jax.default_device(cpu):
         rck, rsk = _cached_integer_keys(params, nb)
@@ -209,6 +210,7 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
             (x & mask) >> (32 - (y % 32)) % 32)) & mask,
         "uint32_div": lambda x, y: x // y,
         "uint8_div": lambda x, y: x // y,
+        "uint16_div": lambda x, y: x // y,
     }[op]
 
     @jax.jit
@@ -278,6 +280,7 @@ def main():
                            else 256 if args.op == "uint32_add"   # ripple:
                            else 8 if args.op == "uint32_div"     # huge op
                            else 64 if args.op == "uint8_div"
+                           else 16 if args.op == "uint16_div"
                            else 32)   # 2 luts x 256 ops = one full PBS batch
 
     t0 = time.time()
