@@ -117,6 +117,23 @@ int main(void) {
     CHECK(tfhe_destroy(r));
   }
 
+  /* 128-bit width (u64 word pairs) ----------------------------------------- */
+  {
+    tfhe_handle x = 0, y = 0, r = 0;
+    uint64_t w0 = 0, w1 = 0;
+    CHECK(tfhe_fheuint128_try_encrypt_with_client_key_u128(
+        0x1111222233334444ull, 0x5555666677778888ull, ck, &x));
+    CHECK(tfhe_fheuint128_try_encrypt_with_client_key_u128(
+        0xFFFFFFFFFFFFFFFFull, 0x1ull, ck, &y));
+    CHECK(tfhe_fheuint128_add(x, y, &r));
+    CHECK(tfhe_fheuint128_decrypt(r, ck, &w0, &w1));
+    assert(w0 == 0x1111222233334443ull);
+    assert(w1 == 0x555566667777888Aull);
+    CHECK(tfhe_destroy(x));
+    CHECK(tfhe_destroy(y));
+    CHECK(tfhe_destroy(r));
+  }
+
   /* signed integers through the ABI --------------------------------------- */
   {
     tfhe_handle x = 0, y = 0, r = 0, n = 0;

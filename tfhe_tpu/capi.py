@@ -186,6 +186,45 @@ for _bits in (32, 64):
     _register_signed_width(_bits)
 
 
+def _register_wide_width(bits: int):
+    """fheuint{128,256}_* family: values cross the ABI as little-endian
+    u64 words (the reference's U128/U256 c_api structs)."""
+    cls = getattr(hlapi, f"FheUint{bits}")
+    g = globals()
+    pre = f"fheuint{bits}_"
+    words = bits // 64
+
+    def encrypt(*args) -> tuple[int, int]:
+        # args = (w0, ..., w_{words-1}, ck_handle[, seed])
+        try:
+            ws = [int(a) for a in args[:words]]
+            ck_handle = args[words]
+            seed = int(args[words + 1]) if len(args) > words + 1 else 0
+            value = sum(w << (64 * i) for i, w in enumerate(ws))
+            ct = cls.encrypt(value, _get(ck_handle), seed=seed)
+            return OK, _new(ct)
+        except Exception:
+            return ERR, 0
+
+    def decrypt(ct_handle: int, ck_handle: int) -> tuple:
+        try:
+            v = int(_get(ct_handle).decrypt(_get(ck_handle)))
+            return (OK,) + tuple((v >> (64 * i)) & ((1 << 64) - 1)
+                                 for i in range(words))
+        except Exception:
+            return (ERR,) + (0,) * words
+
+    g[pre + "try_encrypt_with_client_key"] = encrypt
+    g[pre + "decrypt"] = decrypt
+    for cname, pyname in (("add", "__add__"), ("sub", "__sub__"),
+                          ("bitxor", "__xor__"), ("bitand", "__and__")):
+        g[pre + cname] = _binop(pyname)
+
+
+for _bits in (128, 256):
+    _register_wide_width(_bits)
+
+
 # -- boolean surface (reference c_api/boolean/) ------------------------------
 
 

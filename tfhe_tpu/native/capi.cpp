@@ -224,6 +224,38 @@ TFHE_FHEUINT_FAMILY(64, uint64_t)
 #undef TFHE_FHEUINT_FAMILY
 #undef TFHE_BINOP
 
+/* FheUint128 (values as two little-endian u64 words, like the reference's
+ * U128 c_api struct; FheUint256 is available on the Python surface) ------- */
+
+tfhe_status tfhe_fheuint128_try_encrypt_with_client_key_u128(
+    uint64_t w0, uint64_t w1, tfhe_handle ck, tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(
+                    g_mod, "fheuint128_try_encrypt_with_client_key", "KKK",
+                    w0, w1, ck),
+                out);
+}
+
+tfhe_status tfhe_fheuint128_decrypt(tfhe_handle ct, tfhe_handle ck,
+                                    uint64_t *w0, uint64_t *w1) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "fheuint128_decrypt", "KK", ct, ck),
+                w0, w1);
+}
+
+#define TFHE_U128_BINOP(cname, pyname)                                        \
+  tfhe_status cname(tfhe_handle lhs, tfhe_handle rhs, tfhe_handle *out) {     \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(g_mod, pyname, "KK", lhs, rhs), out);   \
+  }
+
+TFHE_U128_BINOP(tfhe_fheuint128_add, "fheuint128_add")
+TFHE_U128_BINOP(tfhe_fheuint128_sub, "fheuint128_sub")
+TFHE_U128_BINOP(tfhe_fheuint128_bitxor, "fheuint128_bitxor")
+TFHE_U128_BINOP(tfhe_fheuint128_bitand, "fheuint128_bitand")
+
+#undef TFHE_U128_BINOP
+
 /* FheInt widths (signed; two's-complement across the ABI) ----------------- */
 
 #define TFHE_FHEINT_FAMILY(N, ctype)                                          \

@@ -72,6 +72,17 @@ TFHE_TPU_DECLARE_FHEUINT(64, uint64_t)
 
 #undef TFHE_TPU_DECLARE_FHEUINT
 
+/* FheUint128 (values as two little-endian u64 words; FheUint256 is on the
+ * Python capi surface) ---------------------------------------------------- */
+tfhe_status tfhe_fheuint128_try_encrypt_with_client_key_u128(
+    uint64_t w0, uint64_t w1, tfhe_handle client_key, tfhe_handle *out);
+tfhe_status tfhe_fheuint128_decrypt(tfhe_handle ct, tfhe_handle client_key,
+                                    uint64_t *w0, uint64_t *w1);
+tfhe_status tfhe_fheuint128_add(tfhe_handle, tfhe_handle, tfhe_handle *);
+tfhe_status tfhe_fheuint128_sub(tfhe_handle, tfhe_handle, tfhe_handle *);
+tfhe_status tfhe_fheuint128_bitxor(tfhe_handle, tfhe_handle, tfhe_handle *);
+tfhe_status tfhe_fheuint128_bitand(tfhe_handle, tfhe_handle, tfhe_handle *);
+
 /* FheInt widths (signed; two's-complement values across the ABI) ---------- */
 #define TFHE_TPU_DECLARE_FHEINT(N, ctype)                                     \
   tfhe_status tfhe_fheint##N##_try_encrypt_with_client_key_i##N(              \
