@@ -134,6 +134,58 @@ int main(void) {
     CHECK(tfhe_destroy(r));
   }
 
+  /* 256-bit width (four u64 words) ----------------------------------------- */
+  {
+    tfhe_handle x = 0, y = 0, r = 0;
+    uint64_t w0 = 0, w1 = 0, w2 = 0, w3 = 0;
+    CHECK(tfhe_fheuint256_try_encrypt_with_client_key_u256(
+        0xFFFFFFFFFFFFFFFFull, 0x1ull, 0x2ull, 0x3ull, ck, &x));
+    CHECK(tfhe_fheuint256_try_encrypt_with_client_key_u256(
+        0x1ull, 0x0ull, 0x0ull, 0x0ull, ck, &y));
+    CHECK(tfhe_fheuint256_add(x, y, &r));
+    CHECK(tfhe_fheuint256_decrypt(r, ck, &w0, &w1, &w2, &w3));
+    assert(w0 == 0 && w1 == 0x2ull && w2 == 0x2ull && w3 == 0x3ull);
+    CHECK(tfhe_destroy(r));
+    CHECK(tfhe_fheuint256_bitxor(x, y, &r));
+    CHECK(tfhe_fheuint256_decrypt(r, ck, &w0, &w1, &w2, &w3));
+    assert(w0 == 0xFFFFFFFFFFFFFFFEull && w1 == 0x1ull && w2 == 0x2ull &&
+           w3 == 0x3ull);
+    CHECK(tfhe_destroy(x));
+    CHECK(tfhe_destroy(y));
+    CHECK(tfhe_destroy(r));
+  }
+
+  /* compressed server key, compact public key, compressed ciphertext ------- */
+  {
+    tfhe_handle csk = 0, sk2 = 0, pk = 0, cct = 0, ct = 0, pct = 0, s = 0;
+    uint8_t v = 0;
+    CHECK(tfhe_compressed_server_key_new(ck, 3, &csk));
+    CHECK(tfhe_compressed_server_key_decompress(csk, &sk2));
+    CHECK(tfhe_set_server_key(sk2));
+
+    CHECK(tfhe_compressed_fheuint8_try_encrypt_with_client_key_u8(200, ck,
+                                                                  &cct));
+    CHECK(tfhe_compressed_fheuint8_decompress(cct, &ct));
+    CHECK(tfhe_fheuint8_decrypt(ct, ck, &v));
+    assert(v == 200);
+
+    CHECK(tfhe_compact_public_key_new(ck, 2, &pk));
+    CHECK(tfhe_fheuint8_try_encrypt_with_compact_public_key_u8(55, pk, &pct));
+    /* the decompressed server key must operate on the pk-encrypted ct */
+    CHECK(tfhe_fheuint8_add(ct, pct, &s));
+    CHECK(tfhe_fheuint8_decrypt(s, ck, &v));
+    assert(v == (uint8_t)(200 + 55));
+
+    CHECK(tfhe_set_server_key(sk)); /* restore for later sections */
+    CHECK(tfhe_destroy(csk));
+    CHECK(tfhe_destroy(sk2));
+    CHECK(tfhe_destroy(pk));
+    CHECK(tfhe_destroy(cct));
+    CHECK(tfhe_destroy(ct));
+    CHECK(tfhe_destroy(pct));
+    CHECK(tfhe_destroy(s));
+  }
+
   /* signed integers through the ABI --------------------------------------- */
   {
     tfhe_handle x = 0, y = 0, r = 0, n = 0;

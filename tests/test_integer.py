@@ -241,3 +241,22 @@ def test_crt_extended(ikeys):
     np.testing.assert_array_equal(
         crt_ck.decrypt(sk.pbs_crt_compliant_function(ca, lambda x: x * x + 1)),
         (a_vals * a_vals + 1) % mod)
+
+
+def test_encrypted_shift_rotate_full_range(ikeys):
+    """Every amount 0..7 in one batch — exercises every selector group of
+    the layered-selection shift/rotate (block-granular layers included),
+    which small-amount tests miss."""
+    ck, sk = ikeys
+    amt = np.arange(8)
+    a = np.array([0b10110101] * 8)
+    ca = ck.encrypt(jnp.asarray(a), seed=21)
+    cs = ck.encrypt(jnp.asarray(amt), seed=22)
+    np.testing.assert_array_equal(ck.decrypt(sk.left_shift(ca, cs)),
+                                  (a << amt) % MOD)
+    np.testing.assert_array_equal(ck.decrypt(sk.right_shift(ca, cs)),
+                                  a >> amt)
+    np.testing.assert_array_equal(ck.decrypt(sk.rotate_left(ca, cs)),
+                                  ((a << amt) | (a >> (8 - amt))) % MOD)
+    np.testing.assert_array_equal(ck.decrypt(sk.rotate_right(ca, cs)),
+                                  ((a >> amt) | (a << (8 - amt))) % MOD)

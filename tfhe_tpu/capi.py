@@ -371,3 +371,65 @@ def deserialize_shortint(data: bytes) -> tuple[int, int]:
         return OK, _new(load(io.BytesIO(data)))
     except Exception:
         return ERR, 0
+
+# -- compressed / compact keys and ciphertexts over the ABI ------------------
+# (reference c_api: compressed_server_key.rs, compact_public_key ops in
+#  high_level_api/keys, compressed integers in high_level_api/integers/)
+
+
+def compressed_server_key_new(ck_handle: int, seed: int = 3) -> tuple[int, int]:
+    try:
+        return OK, _new(hlapi.CompressedServerKey(_get(ck_handle),
+                                                  seed=int(seed)))
+    except Exception:
+        return ERR, 0
+
+
+def compressed_server_key_decompress(h: int) -> tuple[int, int]:
+    try:
+        return OK, _new(_get(h).decompress())
+    except Exception:
+        return ERR, 0
+
+
+def compact_public_key_new(ck_handle: int, seed: int = 2) -> tuple[int, int]:
+    try:
+        return OK, _new(hlapi.CompactPublicKey(_get(ck_handle), seed=int(seed)))
+    except Exception:
+        return ERR, 0
+
+
+def _register_compressed_width(bits: int):
+    import math as _math
+    cls = getattr(hlapi, f"FheUint{bits}")
+    g = globals()
+
+    def enc_compressed(value: int, ck_handle: int, seed: int = 1) -> tuple[int, int]:
+        try:
+            return OK, _new(hlapi.CompressedFheUint.encrypt(
+                int(value), _get(ck_handle), cls, seed=int(seed)))
+        except Exception:
+            return ERR, 0
+
+    def decompress(h: int) -> tuple[int, int]:
+        try:
+            return OK, _new(_get(h).decompress())
+        except Exception:
+            return ERR, 0
+
+    def enc_compact(value: int, pk_handle: int, seed: int = 0) -> tuple[int, int]:
+        try:
+            pk = _get(pk_handle)
+            nb = bits // int(_math.log2(pk.params.message_modulus))
+            return OK, _new(cls(pk.encrypt_radix(int(value), nb,
+                                                 seed=int(seed))))
+        except Exception:
+            return ERR, 0
+
+    g[f"compressed_fheuint{bits}_try_encrypt_with_client_key"] = enc_compressed
+    g[f"compressed_fheuint{bits}_decompress"] = decompress
+    g[f"fheuint{bits}_try_encrypt_with_compact_public_key"] = enc_compact
+
+
+for _bits in (8, 32):
+    _register_compressed_width(_bits)

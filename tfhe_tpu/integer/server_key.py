@@ -682,19 +682,157 @@ class ServerKey:
                 outs[i] = r
         return outs
 
-    def left_shift(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
-        total_bits = a.num_blocks * int(math.log2(self.msg_mod))
+    def _sub_bit_variants(self, a: RadixCiphertext, subs, kind: str):
+        """`a` shifted/rotated by `sub` BITS (0 < sub < bits_per_block) for
+        every sub in `subs`, all in ONE stacked PBS round: the packed
+        (neighbour, current) pairs are identical across subs — only the LUT
+        differs — so the batch is len(subs) * num_blocks."""
+        m = self.msg_mod
+        bits = int(math.log2(m))
+        nb = a.num_blocks
+        zero = self._trivial_zero_block(a.batch_shape)
+        left = kind in ("shl", "rotl")
+        wrap = kind in ("rotl", "rotr")
+        pairs = []
+        for i in range(nb):
+            if left:
+                nbr = a.blocks[(i - 1) % nb] if (wrap or i > 0) else zero
+            else:
+                nbr = a.blocks[(i + 1) % nb] if (wrap or i + 1 < nb) else zero
+            pairs.append(self.key.unchecked_bivariate_pack(nbr, a.blocks[i]))
+        luts = []
+        for sub in subs:
+            if left:
+                f = lambda x, s=sub: ((((x % m) << s) | ((x // m) >> (bits - s))) % m)
+            else:
+                f = lambda x, s=sub: (((x % m) >> s) | (((x // m) << (bits - s)) % m))
+            luts.append(self.key.generate_lookup_table(f))
+        flat = self._apply_luts_stacked(pairs * len(subs),
+                                        [l for l in luts for _ in range(nb)])
+        return {sub: type(a)(blocks=flat[k * nb:(k + 1) * nb])
+                for k, sub in enumerate(subs)}
+
+    def _block_reindex(self, a: RadixCiphertext, nblk: int, kind: str):
+        """Shift/rotate by `nblk` whole BLOCKS — free (no PBS)."""
+        if nblk == 0:
+            return a
+        nb = a.num_blocks
+        zero = self._trivial_zero_block(a.batch_shape)
+        if kind == "shl":
+            blocks = [zero] * nblk + a.blocks[:nb - nblk]
+        elif kind == "shr":
+            blocks = a.blocks[nblk:] + [zero] * min(nblk, nb)
+            blocks = blocks[:nb]
+        elif kind == "rotl":
+            blocks = [a.blocks[(i - nblk) % nb] for i in range(nb)]
+        else:  # rotr
+            blocks = [a.blocks[(i + nblk) % nb] for i in range(nb)]
+        return type(a)(blocks=blocks)
+
+    def _shift_rotate_by_encrypted(self, a: RadixCiphertext,
+                                   amount: RadixCiphertext,
+                                   kind: str) -> RadixCiphertext:
+        """Shift/rotate by an encrypted amount via layered exclusive
+        selection (reference: a cmux barrel over the amount's bits,
+        integer/server_key/radix_parallel/{shift,rotate}.rs — redesigned
+        for batched TPU PBS).
+
+        The amount's radix blocks ARE the selectors: layer g picks among the
+        2^bits_per_block candidate shifts {s << (g*bp)} by summing one
+        bivariate-packed LUT per DISTINCT candidate per block.  Block-granular
+        candidates are free reindexings; only layer 0's sub-block-bit bases
+        cost a (single, stacked) LUT pass.  The selections are exclusive, so
+        the sum's degree is the max, not the sum (no carry propagation), and
+        no selector-bit extraction PBS is needed — the LUT masks irrelevant
+        high bits of the selector block itself.
+
+        uint32 @ 2_2: 176 PBS in 4 stacked rounds of [16, 64, 64, 32]
+        (the old per-bit cmux barrel: 181 PBS across ~7 small rounds).
+        Candidate-sum noise is 2^bp x a fresh PBS output instead of the
+        cmux's 2x — a +5% sigma on the next layer's packed input, covered
+        by the measured PBS-output-noise gate and p_fail sampling.
+        """
+        m = self.msg_mod
+        bp = int(math.log2(m))
+        a = self._maybe_propagate(a)
+        amount = self._maybe_propagate(amount)
+        nb = a.num_blocks
+        total_bits = nb * bp
         n_sel = max(1, int(math.ceil(math.log2(total_bits))))
-        bits = self._amount_bits(amount, n_sel)
-        out = self._maybe_propagate(a)
-        for i, bit in enumerate(bits):
-            if bit is None:
+        # selector-bit groups: (amount block, bit offset in block, width<=2)
+        groups = []
+        lo_bit = 0
+        while lo_bit < n_sel:
+            g, o = divmod(lo_bit, bp)
+            if g >= amount.num_blocks:
+                break               # missing high amount blocks are zero
+            w = min(2, bp - o, n_sel - lo_bit)
+            groups.append((g, o, w, lo_bit))
+            lo_bit += w
+        # a non-initial group needing sub-bit candidate bases would stack
+        # noise (sum-of-2^w candidates packed as the LUT neighbour input);
+        # only non-power-of-two bp (3_3) hits this — legacy barrel there
+        for idx, (g, o, w, lo) in enumerate(groups):
+            shifts = {((s >> o) & ((1 << w) - 1)) << lo for s in range(m)}
+            if idx > 0 and any(sh % bp for sh in shifts):
+                return self._shift_rotate_barrel(a, amount, kind)
+        out = a
+        for g, o, w, lo in groups:
+            relmask = (1 << w) - 1
+            sel = amount.blocks[g]
+            cand_shifts = sorted({((s >> o) & relmask) << lo
+                                  for s in range(m)})
+            if cand_shifts == [0]:
                 continue
-            shifted = self.scalar_left_shift(out, 1 << i)
-            out = self.cmux(BooleanBlock(block=bit), shifted, out)
+            # candidates: sub-bit bases in one stacked round, block
+            # reindexings free
+            subs = sorted({sh % bp for sh in cand_shifts} - {0})
+            bases = self._sub_bit_variants(out, subs, kind) if subs else {}
+            bases[0] = out
+            cands = {sh: self._block_reindex(bases[sh % bp], sh // bp, kind)
+                     for sh in cand_shifts}
+            # exclusive selection: one LUT per distinct candidate, all blocks
+            # of all candidates in one stacked round.  A candidate block that
+            # is a trivial zero (degree 0 — shifts fill vacated blocks with
+            # trivial zeros) contributes [sel=k]*0 = 0, so its term needs no
+            # PBS at all: uint32 shl drops from 176 to 154 PBS this way.
+            packed, luts, slots = [], [], []
+            for sh in cand_shifts:
+                lut = self.key.generate_lookup_table(
+                    lambda x, sh=sh, o=o, lo=lo, rm=relmask: (x % m) if (
+                        (((x // m) >> o) & rm) << lo) == sh else 0)
+                for j in range(nb):
+                    blkj = cands[sh].blocks[j]
+                    if blkj.degree == 0:
+                        continue
+                    packed.append(self.key.unchecked_bivariate_pack(sel, blkj))
+                    luts.append(lut)
+                    slots.append((sh, j))
+            outs = self._apply_luts_stacked(packed, luts) if packed else []
+            by_block = {}
+            for (sh, j), t in zip(slots, outs):
+                by_block.setdefault(j, []).append(t)
+            blocks = []
+            for j in range(nb):
+                terms = by_block.get(j)
+                if not terms:
+                    blocks.append(self._trivial_zero_block(a.batch_shape))
+                    continue
+                acc = terms[0]
+                for t in terms[1:]:
+                    acc = self.key.unchecked_add(acc, t)
+                blocks.append(acc.with_(degree=max(t.degree for t in terms)))
+            out = type(a)(blocks=blocks)
         return out
 
-    def right_shift(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
+    def _shift_rotate_barrel(self, a, amount, kind: str):
+        """Legacy per-bit cmux barrel (used when bits_per_block is not a
+        power of two, where the layered path's later groups would need
+        sub-bit bases built from noisy candidate sums)."""
+        scalar_op = {"shl": self.scalar_left_shift,
+                     "shr": self.scalar_right_shift,
+                     "rotl": self.scalar_rotate_left,
+                     "rotr": self.scalar_rotate_right}[kind]
         total_bits = a.num_blocks * int(math.log2(self.msg_mod))
         n_sel = max(1, int(math.ceil(math.log2(total_bits))))
         bits = self._amount_bits(amount, n_sel)
@@ -702,9 +840,15 @@ class ServerKey:
         for i, bit in enumerate(bits):
             if bit is None:
                 continue
-            shifted = self.scalar_right_shift(out, 1 << i)
-            out = self.cmux(BooleanBlock(block=bit), shifted, out)
+            moved = scalar_op(out, 1 << i)
+            out = self.cmux(BooleanBlock(block=bit), moved, out)
         return out
+
+    def left_shift(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
+        return self._shift_rotate_by_encrypted(a, amount, "shl")
+
+    def right_shift(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
+        return self._shift_rotate_by_encrypted(a, amount, "shr")
 
     left_shift_parallelized = left_shift
     right_shift_parallelized = right_shift
@@ -931,26 +1075,14 @@ class ServerKey:
 
     scalar_rotate_right_parallelized = scalar_rotate_right
 
-    def _rotate_encrypted(self, a, amount, rot):
-        """Rotation by 2^i cmux-selected on bit i of `amount` — rotation is
-        taken mod 2^ceil(log2(total_bits)) (= mod total_bits whenever the
-        bit width is a power of two, as for every FheUint type)."""
-        total_bits = a.num_blocks * int(math.log2(self.msg_mod))
-        n_sel = max(1, int(math.ceil(math.log2(total_bits))))
-        bits = self._amount_bits(amount, n_sel)
-        out = self._maybe_propagate(a)
-        for i, bit in enumerate(bits):
-            if bit is None:
-                continue
-            rotated = rot(out, 1 << i)
-            out = self.cmux(BooleanBlock(block=bit), rotated, out)
-        return out
-
     def rotate_left(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
-        return self._rotate_encrypted(a, amount, self.scalar_rotate_left)
+        """Rotation by an encrypted amount, taken mod 2^ceil(log2(total_bits))
+        (= mod total_bits whenever the bit width is a power of two, as for
+        every FheUint type)."""
+        return self._shift_rotate_by_encrypted(a, amount, "rotl")
 
     def rotate_right(self, a: RadixCiphertext, amount: RadixCiphertext) -> RadixCiphertext:
-        return self._rotate_encrypted(a, amount, self.scalar_rotate_right)
+        return self._shift_rotate_by_encrypted(a, amount, "rotr")
 
     rotate_left_parallelized = rotate_left
     rotate_right_parallelized = rotate_right

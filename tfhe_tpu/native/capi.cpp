@@ -256,6 +256,121 @@ TFHE_U128_BINOP(tfhe_fheuint128_bitand, "fheuint128_bitand")
 
 #undef TFHE_U128_BINOP
 
+/* FheUint256 (values as four little-endian u64 words, like the reference's
+ * U256 c_api struct) ------------------------------------------------------ */
+
+tfhe_status tfhe_fheuint256_try_encrypt_with_client_key_u256(
+    uint64_t w0, uint64_t w1, uint64_t w2, uint64_t w3, tfhe_handle ck,
+    tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(
+                    g_mod, "fheuint256_try_encrypt_with_client_key", "KKKKK",
+                    w0, w1, w2, w3, ck),
+                out);
+}
+
+tfhe_status tfhe_fheuint256_decrypt(tfhe_handle ct, tfhe_handle ck,
+                                    uint64_t *w0, uint64_t *w1, uint64_t *w2,
+                                    uint64_t *w3) {
+  Gil gil;
+  PyObject *res =
+      PyObject_CallMethod(g_mod, "fheuint256_decrypt", "KK", ct, ck);
+  if (!res) {
+    capture_py_error();
+    return 1;
+  }
+  tfhe_status st = 1;
+  if (PyTuple_Check(res) && PyTuple_Size(res) >= 5) {
+    st = (tfhe_status)PyLong_AsLong(PyTuple_GetItem(res, 0));
+    uint64_t *outs[4] = {w0, w1, w2, w3};
+    for (int i = 0; st == 0 && i < 4; ++i) {
+      if (outs[i])
+        *outs[i] = PyLong_AsUnsignedLongLong(PyTuple_GetItem(res, i + 1));
+    }
+    if (st == 0 && PyErr_Occurred()) {
+      capture_py_error();
+      st = 1;
+    }
+  } else {
+    g_err = "malformed fheuint256_decrypt result";
+  }
+  Py_DECREF(res);
+  return st;
+}
+
+#define TFHE_U256_BINOP(cname, pyname)                                        \
+  tfhe_status cname(tfhe_handle lhs, tfhe_handle rhs, tfhe_handle *out) {     \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(g_mod, pyname, "KK", lhs, rhs), out);   \
+  }
+
+TFHE_U256_BINOP(tfhe_fheuint256_add, "fheuint256_add")
+TFHE_U256_BINOP(tfhe_fheuint256_sub, "fheuint256_sub")
+TFHE_U256_BINOP(tfhe_fheuint256_bitxor, "fheuint256_bitxor")
+TFHE_U256_BINOP(tfhe_fheuint256_bitand, "fheuint256_bitand")
+
+#undef TFHE_U256_BINOP
+
+/* compressed / compact keys and ciphertexts (reference c_api
+ * compressed_server_key.rs, compact list / compressed integers) ----------- */
+
+tfhe_status tfhe_compressed_server_key_new(tfhe_handle client_key,
+                                           uint64_t seed, tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "compressed_server_key_new", "KK",
+                                    client_key, seed),
+                out);
+}
+
+tfhe_status tfhe_compressed_server_key_decompress(tfhe_handle csk,
+                                                  tfhe_handle *out) {
+  Gil gil;
+  return unpack(
+      PyObject_CallMethod(g_mod, "compressed_server_key_decompress", "K", csk),
+      out);
+}
+
+tfhe_status tfhe_compact_public_key_new(tfhe_handle client_key, uint64_t seed,
+                                        tfhe_handle *out) {
+  Gil gil;
+  return unpack(PyObject_CallMethod(g_mod, "compact_public_key_new", "KK",
+                                    client_key, seed),
+                out);
+}
+
+#define TFHE_COMPRESSED_FAMILY(N, ctype)                                      \
+  tfhe_status tfhe_compressed_fheuint##N##_try_encrypt_with_client_key_u##N(  \
+      ctype value, tfhe_handle ck, tfhe_handle *out) {                        \
+    Gil gil;                                                                  \
+    return unpack(                                                            \
+        PyObject_CallMethod(g_mod,                                            \
+                            "compressed_fheuint" #N                           \
+                            "_try_encrypt_with_client_key",                   \
+                            "KK", (uint64_t)value, ck),                       \
+        out);                                                                 \
+  }                                                                           \
+  tfhe_status tfhe_compressed_fheuint##N##_decompress(tfhe_handle h,          \
+                                                      tfhe_handle *out) {     \
+    Gil gil;                                                                  \
+    return unpack(PyObject_CallMethod(                                        \
+                      g_mod, "compressed_fheuint" #N "_decompress", "K", h),  \
+                  out);                                                       \
+  }                                                                           \
+  tfhe_status tfhe_fheuint##N##_try_encrypt_with_compact_public_key_u##N(     \
+      ctype value, tfhe_handle pk, tfhe_handle *out) {                        \
+    Gil gil;                                                                  \
+    return unpack(                                                            \
+        PyObject_CallMethod(                                                  \
+            g_mod, "fheuint" #N "_try_encrypt_with_compact_public_key", "KK", \
+            (uint64_t)value, pk),                                             \
+        out);                                                                 \
+  }
+
+TFHE_COMPRESSED_FAMILY(8, uint8_t)
+TFHE_COMPRESSED_FAMILY(32, uint32_t)
+
+#undef TFHE_COMPRESSED_FAMILY
+
 /* FheInt widths (signed; two's-complement across the ABI) ----------------- */
 
 #define TFHE_FHEINT_FAMILY(N, ctype)                                          \

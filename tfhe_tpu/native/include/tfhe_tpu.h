@@ -72,8 +72,8 @@ TFHE_TPU_DECLARE_FHEUINT(64, uint64_t)
 
 #undef TFHE_TPU_DECLARE_FHEUINT
 
-/* FheUint128 (values as two little-endian u64 words; FheUint256 is on the
- * Python capi surface) ---------------------------------------------------- */
+/* FheUint128 / FheUint256 (values as little-endian u64 words, like the
+ * reference's U128/U256 c_api structs) ------------------------------------ */
 tfhe_status tfhe_fheuint128_try_encrypt_with_client_key_u128(
     uint64_t w0, uint64_t w1, tfhe_handle client_key, tfhe_handle *out);
 tfhe_status tfhe_fheuint128_decrypt(tfhe_handle ct, tfhe_handle client_key,
@@ -82,6 +82,38 @@ tfhe_status tfhe_fheuint128_add(tfhe_handle, tfhe_handle, tfhe_handle *);
 tfhe_status tfhe_fheuint128_sub(tfhe_handle, tfhe_handle, tfhe_handle *);
 tfhe_status tfhe_fheuint128_bitxor(tfhe_handle, tfhe_handle, tfhe_handle *);
 tfhe_status tfhe_fheuint128_bitand(tfhe_handle, tfhe_handle, tfhe_handle *);
+
+tfhe_status tfhe_fheuint256_try_encrypt_with_client_key_u256(
+    uint64_t w0, uint64_t w1, uint64_t w2, uint64_t w3,
+    tfhe_handle client_key, tfhe_handle *out);
+tfhe_status tfhe_fheuint256_decrypt(tfhe_handle ct, tfhe_handle client_key,
+                                    uint64_t *w0, uint64_t *w1, uint64_t *w2,
+                                    uint64_t *w3);
+tfhe_status tfhe_fheuint256_add(tfhe_handle, tfhe_handle, tfhe_handle *);
+tfhe_status tfhe_fheuint256_sub(tfhe_handle, tfhe_handle, tfhe_handle *);
+tfhe_status tfhe_fheuint256_bitxor(tfhe_handle, tfhe_handle, tfhe_handle *);
+tfhe_status tfhe_fheuint256_bitand(tfhe_handle, tfhe_handle, tfhe_handle *);
+
+/* compressed / compact keys and compressed ciphertexts (reference c_api
+ * compressed_server_key.rs, compact public key, compressed integers) ------ */
+tfhe_status tfhe_compressed_server_key_new(tfhe_handle client_key,
+                                           uint64_t seed, tfhe_handle *out);
+tfhe_status tfhe_compressed_server_key_decompress(tfhe_handle csk,
+                                                  tfhe_handle *out);
+tfhe_status tfhe_compact_public_key_new(tfhe_handle client_key, uint64_t seed,
+                                        tfhe_handle *out);
+#define TFHE_TPU_DECLARE_COMPRESSED(N, ctype)                                 \
+  tfhe_status tfhe_compressed_fheuint##N##_try_encrypt_with_client_key_u##N(  \
+      ctype value, tfhe_handle client_key, tfhe_handle *out);                 \
+  tfhe_status tfhe_compressed_fheuint##N##_decompress(tfhe_handle h,          \
+                                                      tfhe_handle *out);      \
+  tfhe_status tfhe_fheuint##N##_try_encrypt_with_compact_public_key_u##N(     \
+      ctype value, tfhe_handle public_key, tfhe_handle *out);
+
+TFHE_TPU_DECLARE_COMPRESSED(8, uint8_t)
+TFHE_TPU_DECLARE_COMPRESSED(32, uint32_t)
+
+#undef TFHE_TPU_DECLARE_COMPRESSED
 
 /* FheInt widths (signed; two's-complement values across the ABI) ---------- */
 #define TFHE_TPU_DECLARE_FHEINT(N, ctype)                                     \
