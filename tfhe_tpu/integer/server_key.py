@@ -344,18 +344,56 @@ class ServerKey:
             blocks.append(blk.with_(lwe=LweCiphertext(data=data), degree=s))
         return RadixCiphertext(blocks=blocks)
 
+    def _split_msg_carry(self, ct: RadixCiphertext):
+        """(message part, carries shifted up one place) of a saturated
+        accumulator, extracting both with ONE stacked PBS round.  Blocks with
+        empty carry space skip their PBS entirely (their carry is a trivial
+        zero)."""
+        m = self.msg_mod
+        nb = ct.num_blocks
+        zero = self._trivial_zero_block(ct.batch_shape)
+        idxs = [i for i, b in enumerate(ct.blocks) if b.degree >= m]
+        msg_blocks = list(ct.blocks)
+        car_blocks = [zero] * nb
+        if idxs:
+            lut_msg = self.key.generate_lookup_table(lambda x: x % m)
+            lut_carry = self.key.generate_lookup_table(lambda x: x // m)
+            ins = [ct.blocks[i] for i in idxs]
+            outs = self._apply_luts_stacked(
+                ins + ins, [lut_msg] * len(ins) + [lut_carry] * len(ins))
+            for k, i in enumerate(idxs):
+                msg_blocks[i] = outs[k]
+                car_blocks[i] = outs[len(ins) + k].with_(
+                    degree=min(m - 1, ct.blocks[i].degree // m))
+        carries = type(ct)(blocks=[zero] + car_blocks[:nb - 1])
+        return type(ct)(blocks=msg_blocks), carries
+
     def _sum_partials(self, partials: List[RadixCiphertext]) -> RadixCiphertext:
-        """Accumulate many radix ciphertexts, propagating only when the carry
-        space is about to fill (reference unchecked_sum_ciphertexts_vec)."""
+        """Accumulate many radix ciphertexts carry-save style (reference
+        unchecked_sum_ciphertexts_vec_parallelized): when the carry space is
+        about to fill, split the accumulator into (message, carries) with one
+        batched PBS round and re-queue the carries as another partial —
+        instead of a sequential per-block carry ripple, which costs
+        num_blocks dependent rounds per propagation on the batch-oriented
+        TPU path.  Ends with one split + the Hillis-Steele parallel
+        propagate (msg + carry degree <= 2m-2 always qualifies)."""
         if not partials:
             raise ValueError("empty sum")
-        acc = partials[0]
-        for p in partials[1:]:
+        queue = list(partials)
+        acc = queue.pop(0)
+        while queue:
+            p = queue.pop(0)
             if any(x.degree + y.degree > self.max_degree
                    for x, y in zip(acc.blocks, p.blocks)):
-                acc = self.full_propagate(acc)
+                acc, carries = self._split_msg_carry(acc)
+                if any(b.degree for b in carries.blocks):
+                    queue.append(carries)
             acc = self.unchecked_add(acc, p)
-        return self.full_propagate(acc)
+        if acc.block_carries_are_empty():
+            return acc
+        msg, carries = self._split_msg_carry(acc)
+        acc = self.unchecked_add(msg, carries)
+        return self.full_propagate_parallelized(acc)
 
     def sum_ciphertexts(self, cts: List[RadixCiphertext]) -> RadixCiphertext:
         """Sum many radix ciphertexts with carry-aware chunked accumulation
