@@ -363,8 +363,12 @@ class ServerKey:
                 ins + ins, [lut_msg] * len(ins) + [lut_carry] * len(ins))
             for k, i in enumerate(idxs):
                 msg_blocks[i] = outs[k]
-                car_blocks[i] = outs[len(ins) + k].with_(
-                    degree=min(m - 1, ct.blocks[i].degree // m))
+                c = outs[len(ins) + k]
+                # c.degree is lut_carry's bound; with carry_modulus > m the
+                # true carry can exceed m-1, so do NOT clamp to m-1 (mirror
+                # full_propagate's min(lut.degree, in.degree // m) bound)
+                car_blocks[i] = c.with_(
+                    degree=min(c.degree, ct.blocks[i].degree // m))
         carries = type(ct)(blocks=[zero] + car_blocks[:nb - 1])
         return type(ct)(blocks=msg_blocks), carries
 
@@ -757,7 +761,7 @@ class ServerKey:
         nb = a.num_blocks
         zero = self._trivial_zero_block(a.batch_shape)
         if kind == "shl":
-            blocks = [zero] * nblk + a.blocks[:nb - nblk]
+            blocks = ([zero] * min(nblk, nb) + a.blocks[:max(nb - nblk, 0)])[:nb]
         elif kind == "shr":
             blocks = a.blocks[nblk:] + [zero] * min(nblk, nb)
             blocks = blocks[:nb]
@@ -786,9 +790,18 @@ class ServerKey:
 
         uint32 @ 2_2: 176 PBS in 4 stacked rounds of [16, 64, 64, 32]
         (the old per-bit cmux barrel: 181 PBS across ~7 small rounds).
-        Candidate-sum noise is 2^bp x a fresh PBS output instead of the
-        cmux's 2x — a +5% sigma on the next layer's packed input, covered
-        by the measured PBS-output-noise gate and p_fail sampling.
+        Noise bookkeeping (exact): a layer's output is a sum of 2^bp
+        exclusive terms, Var = 2^bp x Var_fresh; the NEXT layer's packed
+        input sel*m + cand then has norm2^2 = m^2 + 2^bp = 20 at 2_2,
+        vs the fresh-operand pack's m^2 + 1 = 17 — sigma grows by
+        sqrt(20/17) ~ +8%, i.e. noise_level 8 > MaxNoiseLevel 5 on the
+        tracked (conservative, linear) bound.  The p_fail guarantee here
+        rests on the measured PBS-output-noise gate (test_noise_
+        distribution.py measures sigma_out directly, with >3 bits of
+        margin at 2_2) and the on-chip p_fail sampling run (PFAIL.json,
+        0/102400), not on the linear bound — if parameters with tighter
+        margin are ever added, refresh (message_extract) the layer-2+
+        candidates before packing.
         """
         m = self.msg_mod
         bp = int(math.log2(m))

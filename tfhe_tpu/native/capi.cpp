@@ -287,7 +287,10 @@ tfhe_status tfhe_fheuint256_decrypt(tfhe_handle ct, tfhe_handle ck,
       if (outs[i])
         *outs[i] = PyLong_AsUnsignedLongLong(PyTuple_GetItem(res, i + 1));
     }
-    if (st == 0 && PyErr_Occurred()) {
+    /* PyLong_AsLong on a non-int status returns -1 with a pending
+     * exception; fetch it unconditionally so it cannot leak into the
+     * next ABI call. */
+    if (PyErr_Occurred()) {
       capture_py_error();
       st = 1;
     }
