@@ -31,3 +31,18 @@ def test_div_by_zero_convention(dkeys):
     cb = ck.encrypt(jnp.asarray([0]), seed=4)
     q, r = sk.div_rem(ca, cb)
     assert int(ck.decrypt(r)[0]) == 9
+
+
+def test_div_rem_scan_wide(dkeys):
+    """Widths past 16 bits route through the lax.scan round (the unrolled
+    program is too large for the remote AOT compile at 32 bits); the scan
+    divider must agree with the clear model."""
+    ck0, sk = dkeys
+    rck = integer.RadixClientKey(key=ck0.key, num_blocks=9)   # 18 bits
+    a = np.array([260001, 77, 131072], dtype=np.uint64)
+    b = np.array([7, 260000, 255], dtype=np.uint64)
+    ca = rck.encrypt(jnp.asarray(a), seed=5)
+    cb = rck.encrypt(jnp.asarray(b), seed=6)
+    q, r = sk.div_rem(ca, cb)
+    np.testing.assert_array_equal(np.asarray(rck.decrypt(q)), a // b)
+    np.testing.assert_array_equal(np.asarray(rck.decrypt(r)), a % b)

@@ -290,6 +290,8 @@ def shortint_params(name: str):
 
 
 def wopbs_params(name: str) -> WopbsParameters:
+    if name == "TEST_PARAMS_WOPBS":      # tiny insecure set (CI tests)
+        return TEST_PARAMS_WOPBS
     return SHORTINT_WOPBS[name]
 
 
@@ -316,6 +318,29 @@ TEST_PARAMS_SHORTINT = ClassicPBSParameters(
     pbs_level=1,
     ks_base_log=3,
     ks_level=5,
+    message_modulus=4,
+    carry_modulus=4,
+)
+
+# combined-regime WoP-PBS twin of TEST_PARAMS_SHORTINT (the reference pairs
+# PARAM_MESSAGE_2_CARRY_2_KS_PBS with WOPBS_PARAM_MESSAGE_2_CARRY_2_KS_PBS);
+# small noise so circuit-bootstrap + vertical-packing chains decode exactly
+TEST_PARAMS_WOPBS = WopbsParameters(
+    name="TEST_PARAMS_WOPBS",
+    lwe_dimension=20,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_modular_std_dev=4.0e-8,
+    glwe_modular_std_dev=3.0e-16,
+    pbs_base_log=15,
+    pbs_level=2,
+    ks_base_log=3,
+    ks_level=5,
+    pfks_base_log=15,
+    pfks_level=2,
+    pfks_modular_std_dev=3.0e-16,
+    cbs_base_log=5,
+    cbs_level=3,
     message_modulus=4,
     carry_modulus=4,
 )

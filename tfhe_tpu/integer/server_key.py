@@ -13,7 +13,7 @@ comparisons = log₂(b) batched tree layers.
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Sequence
+from typing import Any, Callable, List, Sequence
 
 import flax.struct as struct
 import jax.numpy as jnp
@@ -36,6 +36,9 @@ EQ, LT, GT = 0, 1, 2
 @struct.dataclass
 class ServerKey:
     key: shortint.ServerKey
+    # optional GGSW-selector shift key (integer/shift_key.py); None keeps the
+    # layered exclusive-selection path for encrypted-amount shifts
+    shift_key: Any = None
 
     @property
     def msg_mod(self) -> int:
@@ -50,9 +53,14 @@ class ServerKey:
     # ------------------------------------------------------------------
 
     def _apply_luts_stacked(self, blocks: List[Block],
-                            luts: List[LookupTable]) -> List[Block]:
-        """One KS+PBS for len(blocks) inputs (possibly distinct LUTs)."""
+                            luts: List[LookupTable],
+                            sk: shortint.ServerKey = None) -> List[Block]:
+        """One KS+PBS for len(blocks) inputs (possibly distinct LUTs).
+        `sk` overrides the shortint key (e.g. the wopbs-regime or casting
+        server keys of the GGSW shift path)."""
         assert len(blocks) == len(luts)
+        if sk is None:
+            sk = self.key
         data = jnp.stack([b.lwe.data for b in blocks], axis=0)   # [nb, ..., n+1]
         inner = data.ndim - 2
         acc = jnp.stack([l.acc.data for l in luts], axis=0)      # [nb, k+1, N]
@@ -63,7 +71,7 @@ class ServerKey:
                     carry_modulus=blocks[0].carry_modulus,
                     noise_level=max(b.noise_level for b in blocks))
         from ..core.entities import GlweCiphertext
-        out = self.key.apply_lookup_table(
+        out = sk.apply_lookup_table(
             tmp, LookupTable(acc=GlweCiphertext(data=acc), degree=0))
         return [blocks[i].with_(
                     lwe=LweCiphertext(data=out.lwe.data[i]),
@@ -803,8 +811,17 @@ class ServerKey:
         margin are ever added, refresh (message_extract) the layer-2+
         candidates before packing.
         """
+        from .shift_key import _shift_rotate_ggsw, ggsw_shift_supported
         m = self.msg_mod
         bp = int(math.log2(m))
+        nb_ = a.num_blocks
+        if ggsw_shift_supported(self.shift_key, m, nb_, amount.num_blocks):
+            total = nb_ * bp
+            pow2_total = total & (total - 1) == 0
+            # rotates need an exact power-of-two width for the doubled-copy
+            # window (shifts past the width naturally produce zeros instead)
+            if kind in ("shl", "shr") or pow2_total:
+                return _shift_rotate_ggsw(self, a, amount, kind)
         a = self._maybe_propagate(a)
         amount = self._maybe_propagate(amount)
         nb = a.num_blocks
@@ -934,6 +951,11 @@ class ServerKey:
         nb = a.num_blocks
         bits_pb = int(math.log2(self.msg_mod))
         total_bits = nb * bits_pb
+        if total_bits > 16:
+            # the fully unrolled restoring loop emits one program copy per
+            # round (10.5 MB of MLIR at 32 bits — breaks the remote AOT
+            # compile helper); wide dividers run the uniform scan round
+            return self._div_rem_scan(a, b)
         bits = self._extract_bits(a)              # LSB first
 
         rem = self.create_trivial_zero_radix(nb, a.batch_shape)
@@ -959,6 +981,82 @@ class ServerKey:
                 acc = term if acc is None else self.key.unchecked_add(acc, term)
             q_blocks.append(acc)
         quotient = self.full_propagate(RadixCiphertext(blocks=q_blocks))
+        return quotient, rem
+
+    def _div_rem_scan(self, a: RadixCiphertext, b: RadixCiphertext):
+        """Restoring long division with the round body under `lax.scan`:
+        every round runs the SAME compiled program (shift-in-bit LUT sweep,
+        ge tree, subtract+propagate, exclusive-selection cmux), so the XLA
+        program holds ONE round instead of total_bits unrolled copies.
+
+        Correctness of the uniform round: entry invariant is rem blocks at
+        degree <= m-1 and PBS-fresh; the round's exit degrees are <= the
+        entry bound by construction (shift LUT outputs m-1, propagate
+        outputs <= m-1, cmux takes the max), so relabelling the scan carry
+        at the bound is sound.  Degree labels only ever widen, never
+        narrow, which can add no incorrect LUT short-cuts."""
+        import jax
+        m = self.msg_mod
+        carry_mod = self.key.carry_modulus
+        nb = a.num_blocks
+        bits_pb = int(math.log2(m))
+        total_bits = nb * bits_pb
+        bits = self._extract_bits(a)              # LSB first, degree 1
+        negb = self.neg(b)                        # loop-invariant two's compl.
+        b_deg = [bl.degree for bl in b.blocks]
+        negb_deg = [bl.degree for bl in negb.blocks]
+        b_data = [bl.lwe.data for bl in b.blocks]
+        negb_data = [bl.lwe.data for bl in negb.blocks]
+
+        def mk_block(data, degree):
+            return Block(lwe=LweCiphertext(data=data), degree=degree,
+                         message_modulus=m, carry_modulus=carry_mod,
+                         noise_level=NoiseLevel.NOMINAL)
+
+        lut_b0 = self.key.generate_lookup_table(lambda x: x % m)
+        lut_bi = self.key.generate_lookup_table(
+            lambda x: (((x // m) << 1) | ((x % m) >> (bits_pb - 1))) % m)
+
+        def round_fn(rem_data, bit_data):
+            rem = [mk_block(rem_data[i], m - 1) for i in range(nb)]
+            bit = mk_block(bit_data, 1)
+            # rem' = (rem << 1) | bit — one bivariate LUT per block
+            packed = [self.key.unchecked_bivariate_pack_with_factor(
+                rem[0], bit, 2)]
+            for i in range(1, nb):
+                packed.append(self.key.unchecked_bivariate_pack(rem[i],
+                                                                rem[i - 1]))
+            shifted = self._apply_luts_stacked(
+                packed, [lut_b0] + [lut_bi] * (nb - 1))
+            srad = RadixCiphertext(blocks=shifted)
+            bb = RadixCiphertext(blocks=[
+                mk_block(d, dg) for d, dg in zip(b_data, b_deg)])
+            ge = self.ge(srad, bb)
+            minus = self.full_propagate(RadixCiphertext(blocks=[
+                self.key.unchecked_add(x, mk_block(d, dg))
+                for x, d, dg in zip(shifted, negb_data, negb_deg)]))
+            new_rem = self.cmux(ge, minus, srad)
+            new_data = jnp.stack([bl.lwe.data for bl in new_rem.blocks])
+            return new_data, ge.block.lwe.data
+
+        rem0 = jnp.stack([a.blocks[0].lwe.data * jnp.uint64(0)] * nb)
+        bits_rev = jnp.stack(
+            [bits[i].lwe.data for i in reversed(range(total_bits))])
+        final_rem, ge_rev = jax.lax.scan(round_fn, rem0, bits_rev)
+
+        q_bits = [mk_block(ge_rev[total_bits - 1 - i], 1)
+                  for i in range(total_bits)]
+        q_blocks = []
+        for blk in range(nb):
+            acc = None
+            for j in range(bits_pb):
+                t = q_bits[blk * bits_pb + j]
+                term = self.key.unchecked_scalar_mul(t, 1 << j) if j else t
+                acc = term if acc is None else self.key.unchecked_add(acc, term)
+            q_blocks.append(acc)
+        quotient = self.full_propagate(RadixCiphertext(blocks=q_blocks))
+        rem = RadixCiphertext(blocks=[mk_block(final_rem[i], m - 1)
+                                      for i in range(nb)])
         return quotient, rem
 
     def div(self, a, b):
@@ -1505,7 +1603,16 @@ class ServerKey:
 
 
 def gen_keys(params="PARAM_MESSAGE_2_CARRY_2_KS_PBS", num_blocks: int = 4,
-             seed: int = 0):
-    """→ (RadixClientKey, ServerKey) — reference integer::gen_keys_radix."""
+             seed: int = 0, shift_key=None):
+    """→ (RadixClientKey, ServerKey) — reference integer::gen_keys_radix.
+
+    shift_key: None (default, layered shifts), or a wopbs parameter set /
+    named-set string / "auto" to also generate the GGSW-selector shift key
+    (integer/shift_key.py)."""
     ck, sk = shortint.gen_keys(params, seed=seed)
-    return RadixClientKey(key=ck, num_blocks=num_blocks), ServerKey(key=sk)
+    shk = None
+    if shift_key is not None:
+        from .shift_key import new_shift_key
+        shk = new_shift_key(ck, sk, shift_key, seed=seed)
+    return (RadixClientKey(key=ck, num_blocks=num_blocks),
+            ServerKey(key=sk, shift_key=shk))

@@ -96,6 +96,22 @@ class ServerKey:
         acc = trivial_glwe(jnp.asarray(poly), self.params.glwe_dimension, LOG_Q)
         return LookupTable(acc=acc, degree=int(vals.max()))
 
+    def generate_lookup_table_raw(self, values) -> LookupTable:
+        """Accumulator whose box for input value i holds the RAW torus
+        constant values[i] (no delta scaling) — circuit-bootstrap level LUTs
+        emit bit * q/B^l directly this way, skipping the reference's separate
+        homomorphic_shift_boolean PBS (fft64/crypto/wop_pbs/mod.rs:370)."""
+        p = self.message_modulus * self.carry_modulus
+        n_poly = self.params.polynomial_size
+        box = n_poly // p
+        vals = np.asarray(values, dtype=np.uint64)
+        assert vals.shape == (p,)
+        poly = np.repeat(vals, box)
+        poly = np.roll(poly, -(box // 2))
+        poly[-(box // 2):] = np.uint64(0) - poly[-(box // 2):]
+        acc = trivial_glwe(jnp.asarray(poly), self.params.glwe_dimension, LOG_Q)
+        return LookupTable(acc=acc, degree=p - 1)
+
     def generate_msg_lookup_table(self, f: Callable[[int], int]) -> LookupTable:
         """LUT of f modulo message_modulus (reference generate_msg_lookup_table)."""
         m = self.message_modulus

@@ -55,6 +55,10 @@ def _register_known_types():
     from ..gadget.engine import (Ciphertext as GadgetCiphertext,
                                  ClientKey as GadgetClientKey,
                                  ServerKey as GadgetServerKey)
+    from ..core.algorithms.wopbs import CbsPfpkskList
+    from ..shortint.wopbs import CombinedWopbsKey, WopbsKey
+    from ..integer.shift_key import ShiftKey
+    from ..integer.server_key import ServerKey as IntegerServerKey
     for cls in [E.LweCiphertext, E.LweSecretKey, E.GlweCiphertext,
                 E.GlweSecretKey, E.GgswCiphertext, E.LweBootstrapKey,
                 E.NttLweBootstrapKey, E.LweKeyswitchKey,
@@ -74,7 +78,9 @@ def _register_known_types():
                 ShortintCompressedServerKey,
                 LookupTable, RadixCiphertext, SignedRadixCiphertext,
                 CrtCiphertext, GadgetCiphertext, GadgetClientKey,
-                GadgetServerKey]:
+                GadgetServerKey,
+                CbsPfpkskList, WopbsKey, CombinedWopbsKey, ShiftKey,
+                IntegerServerKey]:
         _REGISTRY[f"{cls.__module__}.{cls.__name__}"] = cls
 
 

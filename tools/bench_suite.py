@@ -160,19 +160,29 @@ def bench_shortint_add(batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     return dt * 1000 / batch, ok, {"params": str(params), "batch": batch}
 
 
-def _cached_integer_keys(params, nb):
+def _cached_integer_keys(params, nb, with_shift=False):
     """Disk key cache (reference keycache test fixture): integer keys share
-    the shortint cache entry bench.py populates."""
+    the shortint cache entry bench.py populates.  with_shift adds the
+    GGSW-selector shift key (its own cache entry)."""
     if not isinstance(params, str):
-        return integer.gen_keys(params, num_blocks=nb, seed=1)
+        shift = None
+        if with_shift:
+            from tfhe_tpu.core.params import TEST_PARAMS_WOPBS
+            shift = TEST_PARAMS_WOPBS
+        return integer.gen_keys(params, num_blocks=nb, seed=1, shift_key=shift)
     from tfhe_tpu.integer.client_key import RadixClientKey
     from tfhe_tpu.utils.keycache import KeyCache
     kc = KeyCache(root=os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "keys_cache"))
     ck, sk = kc.get(f"{params}_seed1",
                     lambda: shortint.gen_keys(params, seed=1))
+    shk = None
+    if with_shift:
+        from tfhe_tpu.integer.shift_key import new_shift_key
+        shk = kc.get(f"{params}_shiftkey_seed1",
+                     lambda: new_shift_key(ck, sk, "auto", seed=1))
     return (RadixClientKey(key=ck, num_blocks=nb),
-            integer.ServerKey(key=sk))
+            integer.ServerKey(key=sk, shift_key=shk))
 
 
 def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
@@ -181,7 +191,8 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     nb = {"uint8": 4, "uint16": 8}.get(op.split("_")[0], 16)  # 2-bit blocks
     width = nb * 2
     with jax.default_device(cpu):
-        rck, rsk = _cached_integer_keys(params, nb)
+        rck, rsk = _cached_integer_keys(
+            params, nb, with_shift=op in ("uint32_shl", "uint32_rotl"))
         rng = np.random.default_rng(0)
         a_clear = rng.integers(0, 1 << width, batch, dtype=np.uint64)
         if op in ("uint32_shl", "uint32_rotl"):

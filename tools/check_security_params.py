@@ -60,6 +60,68 @@ def check_frontier(name, p):
     return out
 
 
+def primal_usvp_security(n: int, log_q: int, sigma_rel: float) -> float:
+    """Core-SVP security estimate of the primal uSVP attack on LWE
+    (Alkim-Ducas-Poppelmann-Schwabe cost methodology; the same model the
+    lattice estimator's `primal_usvp` implements).
+
+    Success condition for BKZ blocksize beta with m samples, dimension
+    d = n + m + 1 (GSA + Kannan embedding + Bai-Galbraith secret scaling,
+    binary secret sigma_s = 1/2 rescaled by nu = sigma/sigma_s):
+        sigma * sqrt(beta) <= delta^(2*beta - d - 1) * (q^m * nu^n)^(1/d)
+    with delta the root-Hermite factor of BKZ-beta.  The reported security
+    is the classical core-SVP gate count 0.292*beta + 16.4 + log2(8d).
+
+    Scope: this is the uSVP branch only — the full estimator also runs dual
+    and hybrid branches that can shave a few bits on binary-secret TFHE
+    sets, which is why the CI gate below keeps a tolerance band and ALSO
+    requires identity to the reference's estimator-audited constants."""
+    q = 2.0 ** log_q
+    sigma = sigma_rel * q
+    if sigma < 0.5:                # noise below rounding: no security
+        return 0.0
+    log_q_f = math.log2(q)
+    log_s = math.log2(sigma)
+    log_nu = max(0.0, min(log_s + 1.0, log_q_f))   # sigma / sigma_s, s_s=1/2
+    for beta in range(40, 1400):
+        delta = ((beta / (2 * math.pi * math.e))
+                 * (math.pi * beta) ** (1.0 / beta)) ** (1.0 / (2 * (beta - 1)))
+        log_delta = math.log2(delta)
+        # optimize the sample count m (coarse then fine would be overkill;
+        # the optimum is flat — scan a reasonable grid)
+        lhs = log_s + 0.5 * math.log2(beta)
+        for m in range(max(beta - n, 1), 2 * n + 1, 8):
+            d = n + m + 1
+            rhs = ((2 * beta - d - 1) * log_delta
+                   + (m * log_q_f + n * log_nu) / d)
+            if lhs <= rhs:
+                return 0.292 * beta + 16.4 + math.log2(8 * d)
+    return 1000.0                  # attack needs beta > 1400: out of reach
+
+
+# the model above is uSVP-only: audited 128-bit sets measure a few bits
+# higher than the estimator's best (hybrid/dual) attack — gate with a band
+USVP_MIN_BITS = 121.0
+
+
+def check_estimate(name, p):
+    """Quantitative gate: both the LWE and the GLWE (as LWE of dimension
+    k*N) keys must clear USVP_MIN_BITS under the core-SVP primal model."""
+    out = []
+    research = any(t in name for t in RESEARCH_SETS)
+    for tag, n, std in (
+            ("lwe", p.lwe_dimension, p.lwe_modular_std_dev),
+            ("glwe", p.glwe_dimension * p.polynomial_size,
+             p.glwe_modular_std_dev)):
+        lam = primal_usvp_security(n, getattr(p, "log_q", 64), std)
+        if lam < USVP_MIN_BITS:
+            out.append((research,
+                        f"{tag} primal-uSVP estimate {lam:.1f} bits < "
+                        f"{USVP_MIN_BITS} (n={n}, sigma=2^"
+                        f"{math.log2(std):.1f})"))
+    return out
+
+
 def check_sanity(name, p):
     errs = []
     if not (400 <= p.lwe_dimension <= 2048 or p.lwe_dimension >= 512):
@@ -87,7 +149,8 @@ def main():
         for e in check_sanity(name, p):
             print(f"FAIL {name}: {e}")
             bad += 1
-        for is_warning, e in check_frontier(name, p):
+        for is_warning, e in (check_frontier(name, p)
+                              + check_estimate(name, p)):
             if is_warning:
                 print(f"WARN {name}: {e} (research set, outside the "
                       f"reference CI's 128-bit gate)")
