@@ -1032,7 +1032,11 @@ class ServerKey:
             bb = RadixCiphertext(blocks=[
                 mk_block(d, dg) for d, dg in zip(b_data, b_deg)])
             ge = self.ge(srad, bb)
-            minus = self.full_propagate(RadixCiphertext(blocks=[
+            # log-depth Hillis-Steele propagate: ~6 large stacked PBS calls
+            # instead of nb sequential 2-LUT ripple steps — at division's
+            # small batch the per-call floor dominates, so fewer/larger
+            # calls win even though the scan costs more PBS on paper
+            minus = self.full_propagate_parallelized(RadixCiphertext(blocks=[
                 self.key.unchecked_add(x, mk_block(d, dg))
                 for x, d, dg in zip(shifted, negb_data, negb_deg)]))
             new_rem = self.cmux(ge, minus, srad)
