@@ -29,6 +29,8 @@ SUBS = [
      "generate_lwe_secret_key(rng.fork(key, 0), 16)"),
     ("generate_glwe_secret_key(rng.fork(key, 1), 1, 2048)",
      "generate_glwe_secret_key(rng.fork(key, 1), 1, 256)"),
+    ('"WOPBS_PARAM_MESSAGE_2_CARRY_2_KS_PBS"', '"TEST_PARAMS_WOPBS"'),
+    ('shift_key="auto"', 'shift_key="TEST_PARAMS_WOPBS"'),
 ]
 
 

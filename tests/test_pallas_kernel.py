@@ -167,6 +167,26 @@ def test_pallas_fused_rotation_bit_exact(pkeys):
     np.testing.assert_array_equal(dec, [(7 * i + 2) % 16 for i in range(16)])
 
 
+def test_pallas_fused_sub_blockdiag_bit_exact(pkeys, monkeypatch):
+    """TFHE_TPU_SUBBT=2 (dense per-pair dots for the blockdiagonal MXU
+    stages) is bit-identical to the default bt-blockdiagonal embedding."""
+    from tfhe_tpu.core.poly.pallas_ntt import blind_rotate_fused
+
+    f = lambda x: (5 * x + 3) % 16
+    acc = _lut(f)
+    msgs = jnp.arange(16, dtype=jnp.uint64) * DELTA
+    ct = encrypt_lwe(pkeys["enc_key"], pkeys["lwe_sk"], msgs, P.lwe_noise_std, 64)
+    bsk = pkeys["bsk"]
+    base = blind_rotate_fused(acc.data, ct.data, bsk.paired, bsk.paired_shoup,
+                              None, None, P.pbs_decomp, block_b=8,
+                              interpret=True, mode="delta")
+    monkeypatch.setenv("TFHE_TPU_SUBBT", "2")
+    sub = blind_rotate_fused(acc.data, ct.data, bsk.paired, bsk.paired_shoup,
+                             None, None, P.pbs_decomp, block_b=8,
+                             interpret=True, mode="delta")
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(sub))
+
+
 def test_pallas_multibit_matches_xla():
     """Fused multibit kernel (g=2) vs the XLA multibit path, interpret mode."""
     import dataclasses

@@ -1075,7 +1075,7 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                               grouping: int = 1, mode: str = "delta",
                               bt: int = 8, interpret: bool = False,
                               ablate: frozenset = frozenset(), spc: int = 1,
-                              loop_steps: int = 0):
+                              loop_steps: int = 0, sub_bt: int = 0):
     """WHOLE blind rotation as one kernel: grid (batch tiles, steps).
 
     Per batch tile the accumulator lives in the OUTPUT block, which stays
@@ -1123,6 +1123,14 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
     rc = [fs.recomb_consts(p) for p in primes]
     d_right = [(-fs.BIAS_SUM) % p for p in primes]
     NV = 1 if mode == "delta" else V - 1   # phase rows per batch element
+    # sub_bt > 0: the two block-diagonal matmul stages (fwd A, inv B) run as
+    # bt/sub_bt DENSE dots over sub_bt-element batch groups instead of one
+    # bt-blockdiagonal dot — the blockdiagonal embedding wastes bt x the
+    # MACs; sub_bt=2 keeps the contraction dim at/under the 128 MXU tile
+    # (fwd A: 96, inv B: 128 at N1=16) so the dense dots pad minimally
+    if sub_bt and (bt % sub_bt or sub_bt >= bt):
+        sub_bt = 0
+    nsub = bt // sub_bt if sub_bt else 0
 
     def kernel(idx_ref, acc_hi_in, acc_lo_in, bsk_ref, bsk_sh_ref,
                tab_ref, tab_sh_ref,
@@ -1210,14 +1218,32 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                 d_hat[pi] = list(us)
         else:
             u_all = jnp.concatenate(us, axis=2)           # [bt, n1, J*n2]
-            data3 = _i8_limbs(u_all.reshape(rows, J * n2), 3, axis=0)
-            wfa_flat = wfa_ref[...].reshape(P * 4 * rows, 3 * rows)
-            s_all = _dot_i8(wfa_flat, data3)              # [P*4*rows, J*n2]
+            if sub_bt:
+                # dense per-group dots: wfa is the sub_bt-blockdiag stack
+                srows = sub_bt * n1
+                wfa_flat = wfa_ref[...].reshape(P * 4 * srows, 3 * srows)
+                s_grp = []
+                for g in range(nsub):
+                    u_g = u_all[g * sub_bt:(g + 1) * sub_bt]
+                    data3g = _i8_limbs(u_g.reshape(srows, J * n2), 3, axis=0)
+                    s_grp.append(_dot_i8(wfa_flat, data3g))
+            else:
+                data3 = _i8_limbs(u_all.reshape(rows, J * n2), 3, axis=0)
+                wfa_flat = wfa_ref[...].reshape(P * 4 * rows, 3 * rows)
+                s_all = _dot_i8(wfa_flat, data3)          # [P*4*rows, J*n2]
             for pi in range(P):
                 p = U32(primes[pi])
-                b0 = pi * 4 * rows
-                s_m = [s_all[b0 + m * rows:b0 + (m + 1) * rows
-                             ].reshape(bt, n1, J * n2) for m in range(4)]
+                if sub_bt:
+                    srows = sub_bt * n1
+                    s_m = [jnp.concatenate(
+                        [s_grp[g][pi * 4 * srows + m * srows:
+                                  pi * 4 * srows + (m + 1) * srows]
+                         for g in range(nsub)], axis=0
+                        ).reshape(bt, n1, J * n2) for m in range(4)]
+                else:
+                    b0 = pi * 4 * rows
+                    s_m = [s_all[b0 + m * rows:b0 + (m + 1) * rows
+                                 ].reshape(bt, n1, J * n2) for m in range(4)]
                 add_m = [ca_ref[pi, m] for m in range(4)]
                 x1 = _recombine_mxu(s_m, add_m, da_ref[pi], rc[pi], p,
                                     fold=False)
@@ -1307,14 +1333,31 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
             # stage B: limbs along rows per component, components along lanes
             l4 = [(((d >> U32(8 * k)) & U32(255)).astype(I32) - 128
                    ).astype(jnp.int8) for k in range(4)]  # [R*bt, n1, n2] x4
-            data4b = jnp.concatenate([                    # [4*rows, R*n2]
-                jnp.concatenate(
-                    [l4[k][r * bt:(r + 1) * bt].reshape(rows, n2)
-                     for r in range(R)], axis=1)
-                for k in range(4)], axis=0)
-            s2 = _dot_i8(wib_ref[pi], data4b)             # [4*rows, R*n2]
-            s2_m = [s2[m * rows:(m + 1) * rows
-                       ].reshape(bt, n1, R * n2) for m in range(4)]
+            if sub_bt:
+                srows = sub_bt * n1
+                s2_grp = []
+                for g in range(nsub):
+                    data4b_g = jnp.concatenate([          # [4*srows, R*n2]
+                        jnp.concatenate(
+                            [l4[k][r * bt + g * sub_bt:
+                                   r * bt + (g + 1) * sub_bt
+                                   ].reshape(srows, n2) for r in range(R)],
+                            axis=1)
+                        for k in range(4)], axis=0)
+                    s2_grp.append(_dot_i8(wib_ref[pi], data4b_g))
+                s2_m = [jnp.concatenate(
+                    [s2_grp[g][m * srows:(m + 1) * srows]
+                     for g in range(nsub)], axis=0
+                    ).reshape(bt, n1, R * n2) for m in range(4)]
+            else:
+                data4b = jnp.concatenate([                # [4*rows, R*n2]
+                    jnp.concatenate(
+                        [l4[k][r * bt:(r + 1) * bt].reshape(rows, n2)
+                         for r in range(R)], axis=1)
+                    for k in range(4)], axis=0)
+                s2 = _dot_i8(wib_ref[pi], data4b)         # [4*rows, R*n2]
+                s2_m = [s2[m * rows:(m + 1) * rows
+                           ].reshape(bt, n1, R * n2) for m in range(4)]
             add2 = [cib_ref[pi, m] for m in range(4)]
             # fold=False output < 3p + 2^26: one condsub makes it a
             # lazy (< 2p) residue, which the Horner Garner chain accepts
@@ -1536,11 +1579,21 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     primes = [int(p) for p in plan.primes]
     assert all(p < (1 << 30) for p in primes)
     kt = fs.get_kernel_tables(n, num_primes, bt)
+    # TFHE_TPU_SUBBT=2: dense per-pair dots for the blockdiagonal stages
+    # (see _make_rotation_kernel_mxu docstring) — the wfa/wib tables shrink
+    # to the sub_bt embedding
+    sub_bt = int(os.environ.get("TFHE_TPU_SUBBT", "0"))
+    if sub_bt and not (bt % sub_bt) and sub_bt < bt:
+        kt_sub = fs.get_kernel_tables(n, num_primes, sub_bt)
+        kt = kt._replace(wfa=kt_sub.wfa, wib=kt_sub.wib)
+    else:
+        sub_bt = 0
     kernel = _make_rotation_kernel_mxu(n, num_primes, glwe_size, decomp,
                                        primes, log_q, grouping=grouping,
                                        mode=mode, bt=bt, interpret=interpret,
                                        ablate=ablate, spc=spc,
-                                       loop_steps=n_steps if use_loop else 0)
+                                       loop_steps=n_steps if use_loop else 0,
+                                       sub_bt=sub_bt)
 
     grid = (B // bt,) if use_loop else (B // bt, n_steps // spc)
     vm = pltpu.VMEM

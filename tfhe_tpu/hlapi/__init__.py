@@ -179,11 +179,19 @@ class CompressedServerKey:
         return ServerKey(integer.ServerKey(key=self.inner.decompress()))
 
 
-def generate_keys(config: Config = None, seed: int = 0):
-    """→ (ClientKey, ServerKey) — reference tfhe::generate_keys."""
+def generate_keys(config: Config = None, seed: int = 0, shift_key=None):
+    """→ (ClientKey, ServerKey) — reference tfhe::generate_keys.
+
+    shift_key: None (default), or a wopbs parameter set / named-set string /
+    "auto" to also generate the GGSW-selector shift key, which accelerates
+    encrypted-amount `<<`, `>>` and rotations ~3x (integer/shift_key.py)."""
     config = config or ConfigBuilder.default()
     ck, sk = shortint.gen_keys(shortint_params(config.params_name), seed=seed)
-    return ClientKey(ck), ServerKey(integer.ServerKey(key=sk))
+    shk = None
+    if shift_key is not None:
+        from ..integer.shift_key import new_shift_key
+        shk = new_shift_key(ck, sk, shift_key, seed=seed)
+    return ClientKey(ck), ServerKey(integer.ServerKey(key=sk, shift_key=shk))
 
 
 class _FheUintBase:

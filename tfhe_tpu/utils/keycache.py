@@ -39,8 +39,20 @@ class KeyCache:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
+                # a process killed inside generate() leaves its lock behind;
+                # the lock records the owner pid — break it if the owner died
+                try:
+                    owner = int(lock.read_text().strip() or "0")
+                except (OSError, ValueError):
+                    owner = 0
+                if owner and not os.path.exists(f"/proc/{owner}"):
+                    try:
+                        os.unlink(lock)
+                    except FileNotFoundError:
+                        pass
                 time.sleep(1.0)
                 continue
+            os.write(fd, str(os.getpid()).encode())
             try:
                 obj = generate()
                 tmp = path.with_suffix(".tmp.npz")

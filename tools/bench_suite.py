@@ -47,6 +47,8 @@ BASELINES_MS = {
     "uint32_div": 4810.0,       # div_rem
     "uint8_div": 729.0,         # div_rem at 8 bits (4 blocks)
     "uint16_div": 1930.0,       # div_rem at 16 bits (8 blocks)
+    "uint8_mul": 144.0,         # benchmarks.md:17 FheUint8 row
+    "uint64_add": 186.0,        # benchmarks.md:16 FheUint64 row
 }
 
 
@@ -188,7 +190,7 @@ def _cached_integer_keys(params, nb, with_shift=False):
 def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     cpu = jax.local_devices(backend="cpu")[0]
     dev = jax.devices()[0]
-    nb = {"uint8": 4, "uint16": 8}.get(op.split("_")[0], 16)  # 2-bit blocks
+    nb = {"uint8": 4, "uint16": 8, "uint64": 32}.get(op.split("_")[0], 16)
     width = nb * 2
     with jax.default_device(cpu):
         rck, rsk = _cached_integer_keys(
@@ -209,6 +211,8 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     mask = np.uint64((1 << width) - 1)
     clear_fn = {
         "uint32_add": lambda x, y: (x + y) & mask,
+        "uint64_add": lambda x, y: (x + y) & mask,
+        "uint8_mul": lambda x, y: (x * y) & mask,
         "uint32_mul": lambda x, y: (x * y) & mask,
         "uint32_bitand": lambda x, y: x & y,
         "uint32_eq": lambda x, y: (x == y).astype(np.uint64),
@@ -228,7 +232,7 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     def run(ad, bd, key):
         ca = _radix_from(ad, a)
         cb = _radix_from(bd, b)
-        if op == "uint32_add":
+        if op.endswith("_add"):
             # sequential ripple (reference full_propagate), NOT the
             # Hillis-Steele scan: on throughput-bound hardware the scan's
             # n·log n PBS (112/add) loses to the ripple's 2n (32/add); the
@@ -236,7 +240,7 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
             # (the scan remains the right choice for single-op latency —
             # reference add_parallelized vs *_work_efficient tradeoff)
             return _stack(key.add(ca, cb))
-        if op == "uint32_mul":
+        if op in ("uint32_mul", "uint8_mul"):
             return _stack(key.mul(ca, cb))
         if op == "uint32_bitand":
             return _stack(key.bitand(ca, cb))
