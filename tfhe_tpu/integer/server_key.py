@@ -951,10 +951,12 @@ class ServerKey:
         nb = a.num_blocks
         bits_pb = int(math.log2(self.msg_mod))
         total_bits = nb * bits_pb
-        if total_bits > 16:
+        if total_bits >= 8:
             # the fully unrolled restoring loop emits one program copy per
             # round (10.5 MB of MLIR at 32 bits — breaks the remote AOT
-            # compile helper); wide dividers run the uniform scan round
+            # compile helper), and the scan round's carry-out trick beats
+            # the unrolled ge+sub+cmux round ~2x in PBS count anyway; only
+            # tiny (test-set) widths keep the unrolled form
             return self._div_rem_scan(a, b)
         bits = self._extract_bits(a)              # LSB first
 
@@ -1003,9 +1005,7 @@ class ServerKey:
         total_bits = nb * bits_pb
         bits = self._extract_bits(a)              # LSB first, degree 1
         negb = self.neg(b)                        # loop-invariant two's compl.
-        b_deg = [bl.degree for bl in b.blocks]
         negb_deg = [bl.degree for bl in negb.blocks]
-        b_data = [bl.lwe.data for bl in b.blocks]
         negb_data = [bl.lwe.data for bl in negb.blocks]
 
         def mk_block(data, degree):
@@ -1029,17 +1029,14 @@ class ServerKey:
             shifted = self._apply_luts_stacked(
                 packed, [lut_b0] + [lut_bi] * (nb - 1))
             srad = RadixCiphertext(blocks=shifted)
-            bb = RadixCiphertext(blocks=[
-                mk_block(d, dg) for d, dg in zip(b_data, b_deg)])
-            ge = self.ge(srad, bb)
-            # log-depth Hillis-Steele propagate: ~6 large stacked PBS calls
-            # instead of nb sequential 2-LUT ripple steps — at division's
-            # small batch the per-call floor dominates, so fewer/larger
-            # calls win even though the scan costs more PBS on paper
-            minus = self.full_propagate_parallelized(RadixCiphertext(blocks=[
-                self.key.unchecked_add(x, mk_block(d, dg))
-                for x, d, dg in zip(shifted, negb_data, negb_deg)]))
-            new_rem = self.cmux(ge, minus, srad)
+            # the trial subtraction's CARRY OUT is the >= test: rem + (2^w -
+            # b) overflows 2^w exactly when rem >= b — one overflowing-add
+            # ripple (2 LUTs per block) replaces the separate comparison
+            # tree AND the subtract-propagate (~170 -> ~80 PBS per round)
+            negb_ct = RadixCiphertext(blocks=[
+                mk_block(d, dg) for d, dg in zip(negb_data, negb_deg)])
+            trial, ge = self.unsigned_overflowing_add(srad, negb_ct)
+            new_rem = self.cmux(ge, trial, srad)
             new_data = jnp.stack([bl.lwe.data for bl in new_rem.blocks])
             return new_data, ge.block.lwe.data
 
