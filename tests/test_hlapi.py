@@ -206,3 +206,22 @@ def test_compressed_server_key_hlapi(hkeys):
         np.testing.assert_array_equal((x + x).decrypt(ck), (2 * B) % 256)
     finally:
         hlapi.set_server_key(sk)
+
+
+def test_hlapi_ggsw_shift_key(hkeys):
+    """generate_keys(shift_key=...) routes encrypted-amount << through the
+    GGSW-selector fast path at the operator surface."""
+    ck_old, sk_old = hkeys
+    from tfhe_tpu.core.params import TEST_PARAMS_WOPBS
+    config = hlapi.ConfigBuilder().use_custom_parameters(
+        "TEST_PARAMS_SHORTINT").build()
+    ck, sk = hlapi.generate_keys(config, seed=77,
+                                 shift_key=TEST_PARAMS_WOPBS)
+    assert sk.radix.shift_key is not None
+    hlapi.set_server_key(sk)
+    try:
+        x = hlapi.FheUint8.encrypt(jnp.asarray([0x5A, 0x81]), ck, seed=78)
+        s = hlapi.FheUint8.encrypt(jnp.asarray([3, 1]), ck, seed=79)
+        np.testing.assert_array_equal((x << s).decrypt(ck), [0xD0, 0x02])
+    finally:
+        hlapi.set_server_key(sk_old)
