@@ -27,7 +27,12 @@ cmuxes + the 2x bivariate pack put 2^53.2 into the final refresh PBS, below
 the compute path's own keyswitch+modswitch noise (2^54.9), keeping per-PBS
 p_fail <= 2^-40.  The default cbs decomposition here is therefore (4, 4) —
 deliberately finer than the wopbs named sets' (5, 3), which would land at
-~2^-30.
+~2^-30.  The CASTING keyswitches matter even more: the combined regime's
+stock double hop into the wopbs regime puts ~2^56 on every CBS read
+(measured: 2 corrupted values in 2560 chained rotations on chip,
+tools/pfail_shift.py) — the shift key therefore carries its own one-hop
+casting KSKs at SHIFT_CAST_KS_DECOMP (base 4, 8 levels, key-noise term
+~2^53.4, under the mod-switch floor).
 """
 from __future__ import annotations
 
@@ -39,7 +44,7 @@ import jax.numpy as jnp
 
 from ..core import rng
 from ..core.algorithms import generate_packing_keyswitch_key, sample_extract
-from ..core.algorithms.keyswitch import (_static_monomial_mul, keyswitch_lwe,
+from ..core.algorithms.keyswitch import (_static_monomial_mul,
                                          packing_keyswitch_lwe_list_to_glwe)
 from ..core.algorithms.wopbs import (_monomial_div_static, cmux_ntt,
                                      ggsw_to_ntt,
@@ -55,19 +60,36 @@ from ..shortint.wopbs import (CombinedWopbsKey, _wopbs_client_key,
 
 SHIFT_CBS_DECOMP = DecompParams(4, 4)
 
+# deep casting-keyswitch decomposition for the shift path: base 4 x 8
+# levels keeps the cast-KS key-noise term at ~2^53.4 — below the mod-switch
+# floor — where routing through the combined regime's (compute-ks) +
+# (wopbs-ks 6,2) double hop measures ~2^56 on the CBS reads and cost
+# ~5e-5 p_fail per read (found by tools/pfail_shift.py: 2 corrupted
+# values in 2560 chained rotations; PERFORMANCE.md round-4 notes)
+SHIFT_CAST_KS_DECOMP = DecompParams(2, 8)
+
 
 @struct.dataclass
 class ShiftKey:
     """Key material for GGSW-selector shifts (see module docstring).
 
-    wopbs: the combined-regime WoP-PBS key (casting KSKs + wopbs server key
-           + cbs pfpksk).
-    pksk:  packing keyswitch key, compute-big LWE -> wopbs GLWE key, used to
-           pack the radix blocks into one polynomial.
+    wopbs:  the combined-regime WoP-PBS key (cbs pfpksk + wopbs params).
+    pksk:   packing keyswitch key, compute-big LWE -> wopbs GLWE key, used
+            to pack the radix blocks into one polynomial.
+    cbs_server_key:     wopbs-regime ServerKey whose KSK casts compute-big
+            -> wopbs-small DIRECTLY (one deep keyswitch instead of the
+            combined regime's big->big + big->small double hop), so one
+            apply_lookup_table takes an amount block straight into a
+            wopbs-kernel CBS PBS.
+    refresh_server_key: compute-regime ServerKey whose KSK casts
+            wopbs-big -> compute-small with the same deep decomposition,
+            for the final refresh sweep.
     """
 
     wopbs: CombinedWopbsKey
     pksk: Any
+    cbs_server_key: Any = None
+    refresh_server_key: Any = None
     cbs_decomp: DecompParams = struct.field(pytree_node=False,
                                             default=SHIFT_CBS_DECOMP)
 
@@ -75,9 +97,11 @@ class ShiftKey:
 def new_shift_key(ck: ClientKey, sk: ShortintServerKey, wparams="auto",
                   cbs_decomp: DecompParams = SHIFT_CBS_DECOMP,
                   seed: int = 0) -> ShiftKey:
-    """Generate the shift key: a combined wopbs key plus the block-packing
+    """Generate the shift key: a combined wopbs key, the block-packing
     keyswitch key (pfks-grade decomposition and noise, so packing noise
-    stays negligible against the cmux chain)."""
+    stays negligible against the cmux chain), and the two deep direct
+    casting KSKs (SHIFT_CAST_KS_DECOMP)."""
+    from ..core.algorithms import generate_keyswitch_key
     wk = new_wopbs_key(ck, sk, wparams, seed=seed)
     wparams_resolved = wk.params
     wck = _wopbs_client_key(ck, wparams_resolved, seed)
@@ -85,7 +109,18 @@ def new_shift_key(ck: ClientKey, sk: ShortintServerKey, wparams="auto",
     pksk = generate_packing_keyswitch_key(
         k_pk, ck.big_sk, wck.glwe_sk, wparams_resolved.pfks_decomp,
         wparams_resolved.pfks_noise_std, LOG_Q)
-    return ShiftKey(wopbs=wk, pksk=pksk, cbs_decomp=cbs_decomp)
+    k_in, k_out = rng.split(rng.fork(rng.key_from_seed(seed), 0x5F20))
+    ksk_in = generate_keyswitch_key(k_in, ck.big_sk, wck.lwe_sk,
+                                    SHIFT_CAST_KS_DECOMP,
+                                    wparams_resolved.lwe_noise_std, LOG_Q)
+    cbs_sk = ShortintServerKey(ksk=ksk_in, bsk=wk.wopbs_key.server_key.bsk,
+                               params=wparams_resolved)
+    ksk_out = generate_keyswitch_key(k_out, wck.big_sk, ck.lwe_sk,
+                                     SHIFT_CAST_KS_DECOMP,
+                                     ck.params.lwe_noise_std, LOG_Q)
+    refresh_sk = ShortintServerKey(ksk=ksk_out, bsk=sk.bsk, params=ck.params)
+    return ShiftKey(wopbs=wk, pksk=pksk, cbs_server_key=cbs_sk,
+                    refresh_server_key=refresh_sk, cbs_decomp=cbs_decomp)
 
 
 def ggsw_shift_supported(shift_key: Optional[ShiftKey], msg_mod: int,
@@ -93,7 +128,7 @@ def ggsw_shift_supported(shift_key: Optional[ShiftKey], msg_mod: int,
     """The GGSW path needs: a key, power-of-two bits-per-block, at least one
     block-granular selector bit, and polynomial room for the doubled rotate
     window."""
-    if shift_key is None:
+    if shift_key is None or shift_key.cbs_server_key is None:
         return False
     bp = int(math.log2(msg_mod))
     if bp <= 0 or (bp & (bp - 1)):
@@ -128,13 +163,10 @@ def _shift_rotate_ggsw(isk, a, amount, kind: str):
     cbs = sk.cbs_decomp
     lc = cbs.level
 
-    # ---- 1. amount blocks cast into the wopbs regime (big key) ------------
+    # ---- 1. needed amount blocks (cast happens INSIDE the CBS apply: the
+    # cbs_server_key's deep KSK maps compute-big -> wopbs-small directly) --
     need_g = sorted({j // bp for j in range(n_sel) if j // bp < amount.num_blocks})
-    wblocks: Dict[int, Block] = {}
-    for g in need_g:
-        big_w = keyswitch_lwe(amount.blocks[g].lwe, wk.ksk_pbs_to_wopbs, LOG_Q)
-        wblocks[g] = amount.blocks[g].with_(lwe=big_w,
-                                            noise_level=NoiseLevel.NOMINAL)
+    wblocks: Dict[int, Block] = {g: amount.blocks[g] for g in need_g}
 
     # ---- 2. one stacked wopbs-PBS round: CBS level LWEs + sub-block bits --
     jobs: List[Block] = []
@@ -156,7 +188,8 @@ def _shift_rotate_ggsw(isk, a, amount, kind: str):
         if g in wblocks:
             jobs.append(wblocks[g])
             luts.append(wsk.generate_lookup_table(lambda x, o=o: (x >> o) & 1))
-    outs = isk._apply_luts_stacked(jobs, luts, sk=wsk) if jobs else []
+    outs = (isk._apply_luts_stacked(jobs, luts, sk=sk.cbs_server_key)
+            if jobs else [])
 
     # ---- 3. assemble GGSWs: one PFPKS per (bit, level, row) ----------------
     pf = wk.wopbs_key.pfpksk
@@ -208,7 +241,7 @@ def _shift_rotate_ggsw(isk, a, amount, kind: str):
         return Block(lwe=lwe_ct, degree=degree, message_modulus=m,
                      carry_modulus=carry, noise_level=NoiseLevel.NOMINAL)
 
-    psk = wk.pbs_server_key
+    psk = sk.refresh_server_key
     if sb == 0:
         lut_id = psk.generate_lookup_table(lambda x: x % m)
         blocks = isk._apply_luts_stacked([wb(v, m - 1) for v in vs],

@@ -181,7 +181,7 @@ def _cached_integer_keys(params, nb, with_shift=False):
     shk = None
     if with_shift:
         from tfhe_tpu.integer.shift_key import new_shift_key
-        shk = kc.get(f"{params}_shiftkey_seed1",
+        shk = kc.get(f"{params}_shiftkey2_seed1",
                      lambda: new_shift_key(ck, sk, "auto", seed=1))
     return (RadixClientKey(key=ck, num_blocks=nb),
             integer.ServerKey(key=sk, shift_key=shk))
