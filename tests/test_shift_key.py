@@ -90,6 +90,22 @@ def test_ggsw_shift(shift_keys, kind):
     np.testing.assert_array_equal(got, expect, err_msg=kind)
 
 
+def test_ggsw_shift_wider_width(shift_keys):
+    """16-bit operands (8 blocks, 4 selector bits -> 3 cmux levels + b0)
+    through the same keys."""
+    rck0, isk = shift_keys
+    rck = integer.RadixClientKey(key=rck0.key, num_blocks=8)
+    vals = np.array([0xBEEF, 0x8001], dtype=np.uint64)
+    amts = np.array([9, 15], dtype=np.uint64)
+    a = rck.encrypt(jnp.asarray(vals), seed=11)
+    s = rck.encrypt(jnp.asarray(amts), seed=12)
+    for kind, op in (("shl", isk.left_shift), ("rotr", isk.rotate_right)):
+        got = np.asarray(rck.decrypt(op(a, s)))
+        expect = [_clear(kind, int(v), int(x), 16)
+                  for v, x in zip(vals, amts)]
+        np.testing.assert_array_equal(got, expect, err_msg=kind)
+
+
 def test_ggsw_shift_matches_layered(shift_keys):
     """The GGSW path and the layered fallback agree op-for-op."""
     rck, isk = shift_keys
