@@ -106,6 +106,27 @@ def test_ggsw_shift_wider_width(shift_keys):
         np.testing.assert_array_equal(got, expect, err_msg=kind)
 
 
+def test_ggsw_arithmetic_right_shift(shift_keys):
+    """Sign-extending >> by an encrypted amount: nb sign-fill blocks packed
+    behind the data make the extension fall out of the same rotation."""
+    rck, isk = shift_keys
+    bits = NB * 2
+    vals = np.array([-100, -1, 57, -128, 0], dtype=np.int64)
+    amts = np.array([2, 7, 3, 1, 5], dtype=np.uint64)
+    a = rck.encrypt_signed(jnp.asarray(vals), seed=13)
+    s_u = rck.encrypt(jnp.asarray(amts), seed=14)
+    out = isk.right_shift_arithmetic(a, s_u)
+    got = np.asarray(rck.decrypt_signed(
+        integer.SignedRadixCiphertext(blocks=out.blocks)))
+    expect = [int(v) >> int(x) for v, x in zip(vals, amts)]
+    np.testing.assert_array_equal(got, expect)
+    # agree with the legacy ladder
+    isk_l = integer.ServerKey(key=isk.key)
+    slow = np.asarray(rck.decrypt_signed(integer.SignedRadixCiphertext(
+        blocks=isk_l.right_shift_arithmetic(a, s_u).blocks)))
+    np.testing.assert_array_equal(got, slow)
+
+
 def test_ggsw_shift_matches_layered(shift_keys):
     """The GGSW path and the layered fallback agree op-for-op."""
     rck, isk = shift_keys

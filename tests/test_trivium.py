@@ -1,9 +1,21 @@
 """Trivium/Kreyvium app tests: homomorphic keystream == clear model, and
 transciphering round trip (analogue of apps/trivium/src tests, reduced
 warm-up for CPU test speed)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches_each_test():
+    """This module accumulates enough distinct compiled programs that XLA's
+    CPU backend_compile segfaults on the shortint fixture's keygen compile
+    (deterministic at the 8th test in one process; the same compile in a
+    fresh process is fine).  The module-scope clear in conftest.py is not
+    enough WITHIN the module — drop the jit caches after every test here."""
+    yield
+    jax.clear_caches()
 
 from tfhe_tpu import boolean as B
 from tfhe_tpu.apps import (KreyviumStream, KreyviumStreamByte,

@@ -1452,7 +1452,12 @@ class ServerKey:
     def right_shift_arithmetic(self, a: RadixCiphertext,
                                amount: RadixCiphertext) -> RadixCiphertext:
         """Sign-extending shift by an encrypted amount: the same cmux ladder
-        as right_shift with arithmetic rungs."""
+        as right_shift with arithmetic rungs — or the GGSW fast path with
+        nb sign-fill blocks packed behind the data (shift_key.py)."""
+        from .shift_key import _shift_rotate_ggsw, ggsw_shift_supported
+        if ggsw_shift_supported(self.shift_key, self.msg_mod, a.num_blocks,
+                                amount.num_blocks):
+            return _shift_rotate_ggsw(self, a, amount, "ashr")
         total_bits = a.num_blocks * int(math.log2(self.msg_mod))
         n_sel = max(1, int(math.ceil(math.log2(total_bits))))
         bits = self._amount_bits(amount, n_sel)

@@ -209,9 +209,18 @@ def _shift_rotate_ggsw(isk, a, amount, kind: str):
         shoups.append(s)
     subs = outs[n_cbs:]
 
-    # ---- 4. pack the data blocks into one GLWE (doubled for rotates) -------
+    # ---- 4. pack the data blocks into one GLWE (doubled for rotates;
+    # arithmetic shr appends nb sign-fill blocks so the sign extension
+    # falls out of the same rotation) ----------------------------------------
     rotate = kind in ("rotl", "rotr")
-    blocks_list = a.blocks * 2 if rotate else a.blocks
+    if rotate:
+        blocks_list = a.blocks * 2
+    elif kind == "ashr":
+        sign = isk._sign_bit(a)                            # 1 PBS
+        sign_fill = isk.key.unchecked_scalar_mul(sign.block, m - 1)
+        blocks_list = a.blocks + [sign_fill] * nb
+    else:
+        blocks_list = a.blocks
     cts = jnp.stack([b.lwe.data for b in blocks_list], axis=-2)
     acc = packing_keyswitch_lwe_list_to_glwe(
         LweCiphertext(data=cts), sk.pksk, LOG_Q)
@@ -234,7 +243,8 @@ def _shift_rotate_ggsw(isk, a, amount, kind: str):
     # rotl: the doubled copy makes window nb..2nb-1 the wrapped rotation;
     # rotr: window 0..nb-1 over the doubled copy.
     base = nb if kind == "rotl" else 0
-    vs = [sample_extract(acc, base + i) for i in range(nb)]   # wopbs-big LWEs
+    n_ext = nb + 1 if kind == "ashr" else nb   # +1: top block's hi neighbour
+    vs = [sample_extract(acc, base + i) for i in range(n_ext)]  # wopbs-big
 
     # ---- 7. sub-block bit shift + refresh through the casting PBS ----------
     def wb(lwe_ct, degree):
@@ -244,7 +254,7 @@ def _shift_rotate_ggsw(isk, a, amount, kind: str):
     psk = sk.refresh_server_key
     if sb == 0:
         lut_id = psk.generate_lookup_table(lambda x: x % m)
-        blocks = isk._apply_luts_stacked([wb(v, m - 1) for v in vs],
+        blocks = isk._apply_luts_stacked([wb(v, m - 1) for v in vs[:nb]],
                                          [lut_id] * nb, sk=psk)
         return type(a)(blocks=blocks)
 
@@ -276,8 +286,8 @@ def _shift_rotate_ggsw(isk, a, amount, kind: str):
         ni = i - 1 if left else i + 1      # neighbour donating the cross bits
         if rotate:
             ni %= nb
-        elif ni < 0 or ni >= nb:
-            continue                       # shifts fill with zeros
+        elif kind != "ashr" and (ni < 0 or ni >= nb):
+            continue                       # logical shifts fill with zeros
         jobs2.append(pack(vs[ni]))
         luts2.append(lut_hi)
         slots.append(("hi", i))
