@@ -84,10 +84,16 @@ def _register_known_types():
         _REGISTRY[f"{cls.__module__}.{cls.__name__}"] = cls
 
 
-def _encode(obj, arrays: Dict[str, np.ndarray], prefix: str):
-    """→ JSON-able structure; arrays stored by path key."""
+def _encode(obj, arrays: Dict[str, np.ndarray], prefix: str, seen=None):
+    """→ JSON-able structure; arrays stored by path key.
+
+    `seen` dedups arrays by object identity: composite keys share big
+    components (the shift key holds three references to the same compute
+    BSK), so each shared array is stored ONCE."""
     import numpy
     from ..gadget.encoding import Encoding
+    if seen is None:
+        seen = {}
     if obj is None or isinstance(obj, (bool, int, float, str)):
         return {"t": "lit", "v": obj}
     if isinstance(obj, (np.integer,)):
@@ -95,8 +101,11 @@ def _encode(obj, arrays: Dict[str, np.ndarray], prefix: str):
     if isinstance(obj, (np.floating,)):
         return {"t": "lit", "v": float(obj)}
     if isinstance(obj, (jnp.ndarray, np.ndarray)):
-        key = f"a{len(arrays)}"
-        arrays[key] = np.asarray(obj)
+        key = seen.get(id(obj))
+        if key is None:
+            key = f"a{len(arrays)}"
+            arrays[key] = np.asarray(obj)
+            seen[id(obj)] = key
         return {"t": "arr", "k": key}
     if isinstance(obj, Encoding):
         return {"t": "encoding", "o": obj.origin_modulus, "p": obj.modulus_p,
@@ -104,7 +113,7 @@ def _encode(obj, arrays: Dict[str, np.ndarray], prefix: str):
                 "parts": [sorted(part) for part in obj.parts]}
     if isinstance(obj, (list, tuple)):
         return {"t": "list" if isinstance(obj, list) else "tuple",
-                "v": [_encode(x, arrays, prefix) for x in obj]}
+                "v": [_encode(x, arrays, prefix, seen) for x in obj]}
     if dataclasses.is_dataclass(obj):
         _register_known_types()
         name = f"{type(obj).__module__}.{type(obj).__name__}"
@@ -116,7 +125,8 @@ def _encode(obj, arrays: Dict[str, np.ndarray], prefix: str):
                    if name.startswith("tfhe_tpu.") else ())
         fields = {f.name: ({"t": "derived"} if f.name in derived
                            and getattr(obj, f.name) is not None else
-                           _encode(getattr(obj, f.name), arrays, prefix))
+                           _encode(getattr(obj, f.name), arrays, prefix,
+                                   seen))
                   for f in dataclasses.fields(obj)}
         return {"t": "obj", "cls": name, "fields": fields}
     raise DeserializationError(f"cannot serialize {type(obj)}")
@@ -144,18 +154,23 @@ def _regen_derived(obj):
     return obj.replace(mono=jnp.asarray(tab), mono_shoup=jnp.asarray(sh))
 
 
-def _decode(node, arrays):
+def _decode(node, arrays, shared=None):
     from ..gadget.encoding import Encoding
+    if shared is None:
+        shared = {}
     t = node["t"]
     if t == "lit":
         return node["v"]
     if t == "arr":
-        return jnp.asarray(arrays[node["k"]])
+        k = node["k"]
+        if k not in shared:          # share repeated references on load too
+            shared[k] = jnp.asarray(arrays[k])
+        return shared[k]
     if t == "encoding":
         return Encoding(node["o"], node["parts"], node["p"],
                         wopbs=node["wopbs"], _validate=False)
     if t in ("list", "tuple"):
-        vals = [_decode(x, arrays) for x in node["v"]]
+        vals = [_decode(x, arrays, shared) for x in node["v"]]
         return vals if t == "list" else tuple(vals)
     if t == "derived":
         return None
@@ -164,7 +179,8 @@ def _decode(node, arrays):
         cls = _REGISTRY.get(node["cls"])
         if cls is None:
             raise DeserializationError(f"unknown type {node['cls']}")
-        fields = {k: _decode(v, arrays) for k, v in node["fields"].items()}
+        fields = {k: _decode(v, arrays, shared)
+                  for k, v in node["fields"].items()}
         obj = cls(**fields)
         if any(v.get("t") == "derived" for v in node["fields"].values()):
             obj = _regen_derived(obj)
