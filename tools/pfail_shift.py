@@ -111,8 +111,17 @@ def main():
         "wall_s": round(wall, 1),
     }
     print(json.dumps(record))
-    with open(os.path.join(REPO, "PFAIL_SHIFT.json"), "w") as f:
-        json.dump(record, f, indent=1)
+    path = os.path.join(REPO, "PFAIL_SHIFT.json")
+    try:
+        with open(path) as f:
+            all_recs = json.load(f)
+        if "metric" in all_recs:          # migrate the old single-record form
+            all_recs = {f"blocks16": all_recs}
+    except (OSError, ValueError):
+        all_recs = {}
+    all_recs[f"blocks{nb}"] = record
+    with open(path, "w") as f:
+        json.dump(all_recs, f, indent=1)
     if bad_ops:
         sys.exit(1)
 
