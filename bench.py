@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--iters", type=int, default=5,
                     help="chained executions per timed group")
-    ap.add_argument("--groups", type=int, default=4,
+    ap.add_argument("--groups", type=int, default=6,
                     help="timed groups; the best group is reported "
                          "(defends against relay-tunnel latency outliers)")
     ap.add_argument("--test-params", action="store_true",
