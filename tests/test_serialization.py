@@ -255,3 +255,23 @@ def test_compact_public_key():
     dec = decrypt_lwe(cts, sk, 64)
     got = np.asarray((dec + (delta >> np.uint64(1))) // delta) % 16
     np.testing.assert_array_equal(got, np.arange(8))
+
+
+def test_shared_array_dedup_roundtrip():
+    """Composite keys holding several references to the same array store it
+    ONCE and share the loaded object (the shift key's three compute-BSK
+    references tripled the cache entry before this)."""
+    import io
+    from tfhe_tpu.core.entities import LweKeyswitchKey
+    from tfhe_tpu.core.params import DecompParams
+    from tfhe_tpu.utils import serialization
+    arr = jnp.arange(4096, dtype=jnp.uint64).reshape(16, 16, 16)
+    k = LweKeyswitchKey(data=arr, decomp=DecompParams(3, 5))
+    one, three = io.BytesIO(), io.BytesIO()
+    serialization.save([k], one, compress=False)
+    serialization.save([k, k, k], three, compress=False)
+    assert three.getbuffer().nbytes < one.getbuffer().nbytes + 2048
+    three.seek(0)
+    loaded = serialization.load(three)
+    np.testing.assert_array_equal(np.asarray(loaded[2].data), np.asarray(arr))
+    assert loaded[0].data is loaded[1].data          # shared on load too
