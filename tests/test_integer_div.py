@@ -25,12 +25,28 @@ def test_div_rem(dkeys):
 
 
 def test_div_by_zero_convention(dkeys):
-    """Restoring division with encrypted zero divisor: q=0, r=a."""
+    """Encrypted zero divisor follows the reference convention on BOTH
+    divider paths: quotient all-ones (sub never underflows), remainder a."""
     ck, sk = dkeys
     ca = ck.encrypt(jnp.asarray([9]), seed=3)
     cb = ck.encrypt(jnp.asarray([0]), seed=4)
-    q, r = sk.div_rem(ca, cb)
+    q, r = sk.div_rem(ca, cb)          # 4-bit: unrolled path
     assert int(ck.decrypt(r)[0]) == 9
+    assert int(ck.decrypt(q)[0]) == 15
+
+
+def test_div_by_zero_convention_scan(dkeys):
+    """The lax.scan divider (>= 8 bits) must apply the same x/0 convention
+    as the unrolled path (its carry-out trick alone would report q=0)."""
+    ck0, sk = dkeys
+    rck = integer.RadixClientKey(key=ck0.key, num_blocks=4)   # 8 bits
+    a = np.array([200, 9], dtype=np.uint64)
+    b = np.array([0, 3], dtype=np.uint64)
+    ca = rck.encrypt(jnp.asarray(a), seed=7)
+    cb = rck.encrypt(jnp.asarray(b), seed=8)
+    q, r = sk.div_rem(ca, cb)
+    np.testing.assert_array_equal(np.asarray(rck.decrypt(q)), [255, 3])
+    np.testing.assert_array_equal(np.asarray(rck.decrypt(r)), [200, 0])
 
 
 def test_div_rem_scan_wide(dkeys):

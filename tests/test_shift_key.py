@@ -127,6 +127,24 @@ def test_ggsw_arithmetic_right_shift(shift_keys):
     np.testing.assert_array_equal(got, slow)
 
 
+def test_ashr_non_pow2_width_gated(shift_keys):
+    """Non-power-of-two total widths must NOT take the GGSW ashr fast path:
+    the selector there can reach block shifts past the packed sign-fill
+    blocks and read zero coefficients instead of sign material.  3 blocks =
+    6 bits, shift amounts up to 7 >= width — must still be all-sign."""
+    rck0, isk = shift_keys
+    rck = integer.RadixClientKey(key=rck0.key, num_blocks=3)
+    vals = np.array([-32, -1, 20, -9], dtype=np.int64)
+    amts = np.array([7, 5, 6, 2], dtype=np.uint64)
+    a = rck.encrypt_signed(jnp.asarray(vals), seed=21)
+    s_u = rck.encrypt(jnp.asarray(amts), seed=22)
+    out = isk.right_shift_arithmetic(a, s_u)
+    got = np.asarray(rck.decrypt_signed(
+        integer.SignedRadixCiphertext(blocks=out.blocks)))
+    expect = [int(v) >> min(int(x), 5) for v, x in zip(vals, amts)]
+    np.testing.assert_array_equal(got, expect)
+
+
 def test_ggsw_shift_matches_layered(shift_keys):
     """The GGSW path and the layered fallback agree op-for-op."""
     rck, isk = shift_keys

@@ -941,10 +941,10 @@ class ServerKey:
     def div_rem(self, a: RadixCiphertext, b: RadixCiphertext):
         """(quotient, remainder); dispatches signed operands to the
         sign-corrected divider like the reference's generic
-        div_rem_parallelized (div_mod.rs:597).  x/0 follows the reference convention of
-        returning all-ones quotient and x as remainder is NOT emulated —
-        division by an encrypted zero yields quotient with every ge-test
-        false (quotient 0, remainder a), matching restoring division."""
+        div_rem_parallelized (div_mod.rs:597).  x/0 follows the reference
+        convention on BOTH paths: quotient all-ones, remainder x (the
+        unrolled path's ge(rem, 0) is vacuously true; the scan path
+        restores it with an explicit b==0 cmux)."""
         if isinstance(a, SignedRadixCiphertext):
             return self.signed_div_rem(a, b)
         a, b = self._maybe_propagate(a), self._maybe_propagate(b)
@@ -1056,6 +1056,15 @@ class ServerKey:
                 acc = term if acc is None else self.key.unchecked_add(acc, term)
             q_blocks.append(acc)
         quotient = self.full_propagate(RadixCiphertext(blocks=q_blocks))
+        # x/0: the carry-out trick reads false for b=0 (rem + neg(0) never
+        # overflows), which would yield quotient 0 — the reference convention
+        # (sub never underflows, all quotient bits set) is restored with one
+        # loop-invariant b==0 test and a cmux to the all-ones value; the
+        # remainder is already a (no subtraction ever fires)
+        b_is_zero = self.scalar_eq(b, 0)
+        all_ones = self.create_trivial_radix((1 << total_bits) - 1, nb,
+                                             a.batch_shape)
+        quotient = self.cmux(b_is_zero, all_ones, quotient)
         rem = RadixCiphertext(blocks=[mk_block(final_rem[i], m - 1)
                                       for i in range(nb)])
         return quotient, rem
@@ -1455,8 +1464,14 @@ class ServerKey:
         as right_shift with arithmetic rungs — or the GGSW fast path with
         nb sign-fill blocks packed behind the data (shift_key.py)."""
         from .shift_key import _shift_rotate_ggsw, ggsw_shift_supported
-        if ggsw_shift_supported(self.shift_key, self.msg_mod, a.num_blocks,
-                                amount.num_blocks):
+        total = a.num_blocks * int(math.log2(self.msg_mod))
+        # like rotates, ashr needs a power-of-two total width: for non-pow2
+        # totals the selector can reach block shifts >= nb while only nb
+        # sign-fill blocks are packed behind the data, so the extraction
+        # window would read unoccupied zero coefficients instead of sign fill
+        if (total & (total - 1)) == 0 and ggsw_shift_supported(
+                self.shift_key, self.msg_mod, a.num_blocks,
+                amount.num_blocks):
             return _shift_rotate_ggsw(self, a, amount, "ashr")
         total_bits = a.num_blocks * int(math.log2(self.msg_mod))
         n_sel = max(1, int(math.ceil(math.log2(total_bits))))

@@ -40,29 +40,51 @@ class KeyCache:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 # a process killed inside generate() leaves its lock behind;
-                # the lock records the owner pid — break it if the owner died
+                # the lock records the owner pid — break it if the owner died.
+                # Breaking must be atomic: rename the suspect lock aside and
+                # re-verify the renamed file before discarding, so two waiters
+                # can never both "break" and leave one unlinking the other's
+                # freshly acquired live lock (read-check-unlink TOCTOU).
                 try:
                     owner = int(lock.read_text().strip() or "0")
                 except (OSError, ValueError):
                     owner = 0
                 if owner and not os.path.exists(f"/proc/{owner}"):
+                    claimed = lock.with_suffix(f".stale.{os.getpid()}")
                     try:
-                        os.unlink(lock)
-                    except FileNotFoundError:
-                        pass
+                        os.rename(lock, claimed)
+                    except OSError:
+                        pass  # another waiter broke it first
+                    else:
+                        try:
+                            owner2 = int(claimed.read_text().strip() or "0")
+                        except (OSError, ValueError):
+                            owner2 = 0
+                        if owner2 and os.path.exists(f"/proc/{owner2}"):
+                            # raced: we renamed a LIVE lock — restore it
+                            os.rename(claimed, lock)
+                        else:
+                            os.unlink(claimed)
                 time.sleep(1.0)
                 continue
             os.write(fd, str(os.getpid()).encode())
             try:
                 obj = generate()
-                tmp = path.with_suffix(".tmp.npz")
+                # per-pid tmp name: concurrent generators (possible only if
+                # a lock was wrongly broken) at worst duplicate work — they
+                # can never interleave writes into one tmp file and publish
+                # a truncated npz
+                tmp = path.with_suffix(f".tmp.{os.getpid()}.npz")
                 serialization.save(obj, tmp, compress=False)
                 os.replace(tmp, path)
                 self._mem[name] = obj
                 return obj
             finally:
                 os.close(fd)
-                os.unlink(lock)
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
         raise TimeoutError(f"key cache lock for {name} never released")
 
     def clear(self):
