@@ -55,6 +55,46 @@ def test_wopbs_arbitrary_function(wkeys):
         [f(i) for i in range(16)])
 
 
+def test_crt_wopbs(wkeys):
+    """CRT-wide LUT eval (reference integer/wopbs/mod.rs:716-780): each
+    residue block gets f(x_j) mod m_j through ONE shared extracted-GGSW
+    list; decryption reconstructs f applied componentwise."""
+    from tfhe_tpu import integer
+    from tfhe_tpu.integer.wopbs import new_integer_wopbs_key
+    ck, sk, wk = wkeys
+    moduli = (2, 3, 5)
+    cck = integer.CrtClientKey(key=ck, moduli=moduli)
+    iwk = new_integer_wopbs_key(wk)
+    f = lambda x: x * x + 1
+    msg_space = 30
+    vals = np.array([0, 7, 19, 29])
+    ct = cck.encrypt(jnp.asarray(vals), seed=6)
+    out = iwk.wopbs_crt(ct, f)
+    assert out.moduli == moduli
+    # componentwise f is the CRT evaluation of f for ring functions
+    expect = [f(int(v)) % msg_space for v in vals]
+    np.testing.assert_array_equal(np.asarray(cck.decrypt(out)), expect)
+
+
+def test_crt_wopbs_non_ring_function(wkeys):
+    """Residues see only their own value: out_j = f(x_j) mod m_j exactly
+    (the reference semantic — NOT f of the reconstructed integer)."""
+    from tfhe_tpu import integer
+    from tfhe_tpu.integer.wopbs import new_integer_wopbs_key
+    ck, sk, wk = wkeys
+    moduli = (3, 4)
+    cck = integer.CrtClientKey(key=ck, moduli=moduli)
+    iwk = new_integer_wopbs_key(wk)
+    f = lambda x: 2 * x + 3
+    vals = np.array([5, 11])
+    ct = cck.encrypt(jnp.asarray(vals), seed=7)
+    out = iwk.wopbs_crt(ct, f)
+    for j, mj in enumerate(moduli):
+        got = np.asarray(ck.decrypt_message_and_carry(out.blocks[j])) % mj
+        expect = [(f(int(v) % mj)) % mj for v in vals]
+        np.testing.assert_array_equal(got, expect, err_msg=f"residue {mj}")
+
+
 def test_integer_wopbs(wkeys):
     """Radix-wide arbitrary LUT: f over the full 4-bit value (2 blocks)."""
     from tfhe_tpu import integer

@@ -1581,8 +1581,13 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     kt = fs.get_kernel_tables(n, num_primes, bt)
     # TFHE_TPU_SUBBT=2: dense per-pair dots for the blockdiagonal stages
     # (see _make_rotation_kernel_mxu docstring) — the wfa/wib tables shrink
-    # to the sub_bt embedding
-    sub_bt = int(os.environ.get("TFHE_TPU_SUBBT", "0"))
+    # to the sub_bt embedding.  At N=2048 this measured slightly slower
+    # (801 vs 839 PBS/s) and stays opt-in; for N > 4096 it is the DEFAULT:
+    # the bt-blockdiagonal tables grow as (bt*N1)^2 (29 MB of VMEM at
+    # N=8192) and the wasted blockdiag MACs scale the same way, so the
+    # dense sub-group form wins on both counts there.
+    sub_default = "0" if n <= 4096 else str(max(1, 128 // n1))
+    sub_bt = int(os.environ.get("TFHE_TPU_SUBBT", sub_default))
     if sub_bt and not (bt % sub_bt) and sub_bt < bt:
         kt_sub = fs.get_kernel_tables(n, num_primes, sub_bt)
         kt = kt._replace(wfa=kt_sub.wfa, wib=kt_sub.wib)
@@ -1645,12 +1650,20 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
         scratch = [pltpu.VMEM(ph_shape, jnp.uint32),
                    pltpu.VMEM(ph_shape, jnp.uint32),
                    pltpu.SemaphoreType.DMA]
+    # For N > 4096 the working set (stage tables + accumulator tiles +
+    # matmul transients) exceeds Mosaic's 16 MB default scoped-vmem limit,
+    # but the v5e physically allocates >= 110 MB (measured,
+    # tools/vmem_probe.py) — raise the cap for the high-N parameter
+    # regimes (3_3 at N=8192, 4_4 at N=32768) instead of refusing them.
+    cp_kwargs = dict(dimension_semantics=("arbitrary",) * nmaps)
+    if n > 4096:
+        cp_kwargs["vmem_limit_bytes"] = (
+            int(os.environ.get("TFHE_TPU_VMEM_MB", "110")) << 20)
     acc_hi_r, acc_lo_r = pl.pallas_call(
         kernel, grid=grid, in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",) * nmaps),
+        compiler_params=pltpu.CompilerParams(**cp_kwargs),
     )(idx2d, acc_hi, acc_lo, bsk_u32, bsk_sh_u32, mono_tab, mono_sh,
       *(jnp.asarray(t) for t in tables))
 

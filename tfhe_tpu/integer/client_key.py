@@ -98,8 +98,12 @@ class CrtClientKey:
 
     def encrypt(self, values, seed: int = 0) -> CrtCiphertext:
         vals = jnp.asarray(values).astype(jnp.uint64)
-        blocks = [self.key.unchecked_encrypt(vals % jnp.uint64(mi), seed=seed * 31 + i)
-                  for i, mi in enumerate(self.moduli)]
+        # a fresh residue is < m_i: record the true degree (the reference's
+        # fresh CRT blocks carry degree m_i - 1, which the CRT WoP-PBS uses
+        # to size the per-block extracted-bit count)
+        blocks = [self.key.unchecked_encrypt(
+            vals % jnp.uint64(mi), seed=seed * 31 + i).with_(degree=mi - 1)
+            for i, mi in enumerate(self.moduli)]
         return CrtCiphertext(blocks=blocks, moduli=tuple(self.moduli))
 
     def decrypt(self, ct: CrtCiphertext):

@@ -20,7 +20,7 @@ from ..shortint.ciphertext import Ciphertext as Block
 from ..shortint.ciphertext import NoiseLevel
 from ..shortint.client_key import LOG_Q, delta_for
 from ..shortint.wopbs import WopbsKey
-from .ciphertext import RadixCiphertext
+from .ciphertext import CrtCiphertext, RadixCiphertext
 
 
 @struct.dataclass
@@ -78,6 +78,72 @@ class IntegerWopbsKey:
                 message_modulus=m, carry_modulus=self.params.carry_modulus,
                 noise_level=NoiseLevel.NOMINAL))
         return RadixCiphertext(blocks=out_blocks)
+
+
+    # ------------------------------------------------------------------
+    # CRT ciphertexts (reference integer/wopbs/mod.rs:216-487 — the generic
+    # wopbs<T: IntegerCiphertext> + generate_lut_crt :716-780)
+    # ------------------------------------------------------------------
+
+    def _crt_widths(self, ct: CrtCiphertext):
+        """Bits per CRT block from its degree bound (reference
+        generate_lut_crt: ceil(log2(degree + 1)) per block)."""
+        return [max(1, int(math.ceil(math.log2(int(b.degree) + 1))))
+                for b in ct.blocks]
+
+    def extract_crt_bits(self, ct: CrtCiphertext):
+        """MSB-first GGSW list over the residue bits of every CRT block
+        (last block's MSB first — the same convention as the radix path, so
+        block j occupies LUT-index bits [sum(widths[:j]), sum(widths[:j+1]))
+        counting from the LSB)."""
+        wk = self.wopbs_key
+        widths = self._crt_widths(ct)
+        hats, shoups = [], []
+        for blk, b in zip(reversed(ct.blocks), reversed(widths)):
+            bits = wk.extract_bits_of(blk, b)
+            h, s = wk.circuit_bootstrap(bits)
+            hats.extend(h)
+            shoups.extend(s)
+        return hats, shoups
+
+    def wopbs_crt(self, ct: CrtCiphertext,
+                  f: Callable[[int], int]) -> CrtCiphertext:
+        """Arbitrary LUT over a CRT ciphertext: each output residue block j
+        is f(x_j) mod m_j, with ALL blocks sharing ONE extracted-bit GGSW
+        list (additional residues cost only their vertical-packing pass —
+        reference WopbsKey::wopbs on CrtCiphertext + generate_lut_crt,
+        integer/wopbs/mod.rs:716-780: the per-block LUT entry is
+        f(v mod 2^deg mod m_j) mod m_j at the mixed-radix bit index)."""
+        wk = self.wopbs_key
+        widths = self._crt_widths(ct)
+        total_bits = sum(widths)
+        n_poly = self.params.polynomial_size
+        delta = delta_for(self.params)
+
+        hats, shoups = self.extract_crt_bits(ct)
+
+        space = 1 << total_bits
+        num_polys = max(1, space // n_poly)
+        out_blocks: List[Block] = []
+        offset = 0
+        for blk, mj, bj in zip(ct.blocks, ct.moduli, widths):
+            mask = (1 << bj) - 1
+            idx = np.arange(space, dtype=np.uint64)
+            vj = ((idx >> np.uint64(offset)) & np.uint64(mask)) % np.uint64(mj)
+            vals = np.array([int(f(int(v))) % mj for v in vj],
+                            dtype=np.uint64) * delta
+            polys = np.zeros((num_polys, n_poly), dtype=np.uint64)
+            polys.reshape(-1)[:space] = vals
+            out = vertical_packing(jnp.asarray(polys), hats, shoups,
+                                   wk.cbs_decomp,
+                                   self.params.glwe_dimension, LOG_Q)
+            out_blocks.append(Block(
+                lwe=out, degree=mj - 1,
+                message_modulus=blk.message_modulus,
+                carry_modulus=blk.carry_modulus,
+                noise_level=NoiseLevel.NOMINAL))
+            offset += bj
+        return CrtCiphertext(blocks=out_blocks, moduli=tuple(ct.moduli))
 
 
 def new_integer_wopbs_key(wopbs_key: WopbsKey) -> IntegerWopbsKey:
