@@ -77,6 +77,11 @@ def main():
         ct = ck.encrypt(msgs, seed=2)
     print(f"# keygen(+cache): {time.time() - t0:.1f}s", file=sys.stderr)
 
+    if params.polynomial_size >= 16384 and getattr(sk.bsk, "paired", None) is not None:
+        # 4_4 regime: the full key (u64 XLA spectra + u32 paired form +
+        # KSK) exceeds chip HBM; ship only what the fused kernel reads
+        sk = sk.replace(bsk=sk.bsk.slim())
+        print("# slimmed BSK (paired-only) for device transfer", file=sys.stderr)
     sk_dev = jax.device_put(sk, dev)
     lut_dev = jax.device_put(lut, dev)
     ct_dev = jax.device_put(ct.lwe.data, dev)

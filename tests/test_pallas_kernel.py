@@ -187,6 +187,40 @@ def test_pallas_fused_sub_blockdiag_bit_exact(pkeys, monkeypatch):
     np.testing.assert_array_equal(np.asarray(base), np.asarray(sub))
 
 
+def test_pallas_fused_factored_phase_bit_exact(pkeys):
+    """The factored phase stack (X^{e_lo} x X^{S e_hi} rows + in-kernel
+    recombination, the N >= 16384 form that kills the O(N^2) table) computes
+    the same residues mod every prime as the full (X^e - 1) table, so the
+    Garner output is bit-identical.  Forced here at test N by passing the
+    split stack explicitly."""
+    from tfhe_tpu.core.poly import fourstep as fs
+    from tfhe_tpu.core.poly.pallas_ntt import blind_rotate_fused
+
+    f = lambda x: (11 * x + 6) % 16
+    acc = _lut(f)
+    msgs = jnp.arange(16, dtype=jnp.uint64) * DELTA
+    ct = encrypt_lwe(pkeys["enc_key"], pkeys["lwe_sk"], msgs, P.lwe_noise_std, 64)
+    bsk = pkeys["bsk"]
+    npr = bsk.paired.shape[1]
+    n = P.polynomial_size
+
+    full = blind_rotate_fused(acc.data, ct.data, bsk.paired, bsk.paired_shoup,
+                              bsk.mono, bsk.mono_shoup, P.pbs_decomp,
+                              block_b=8, interpret=True, mode="delta")
+    stab, stab_sh = fs.monomial_split_tables(n, npr)
+    assert stab.shape[0] != 2 * n
+    split = blind_rotate_fused(acc.data, ct.data, bsk.paired,
+                               bsk.paired_shoup, jnp.asarray(stab),
+                               jnp.asarray(stab_sh), P.pbs_decomp,
+                               block_b=8, interpret=True, mode="delta")
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(split))
+
+    out = sample_extract(GlweCiphertext(data=split), 0)
+    dec = np.asarray((decrypt_lwe(out, pkeys["big_sk"], 64)
+                      + (DELTA >> np.uint64(1))) // DELTA) % 16
+    np.testing.assert_array_equal(dec, [(11 * i + 6) % 16 for i in range(16)])
+
+
 def test_pallas_multibit_matches_xla():
     """Fused multibit kernel (g=2) vs the XLA multibit path, interpret mode."""
     import dataclasses

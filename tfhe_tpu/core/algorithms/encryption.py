@@ -212,18 +212,14 @@ def bootstrap_key_to_ntt(bsk: LweBootstrapKey, log_q: int,
             # MXU kernel runs the delta-CMUX step — it needs only the plain
             # GGSW(s) spectra (u32 + shoup), permuted to four-step order;
             # phases come from the full-exponent HBM table at rotation time.
-            from ..poly.fourstep import (monomial_full_tables,
-                                         monomial_full_tables_lanes,
-                                         perm_from_dif)
+            from ..poly.fourstep import monomial_tables_for, perm_from_dif
             perm = jnp.asarray(perm_from_dif(n))
             paired = hat.astype(jnp.uint32)[..., perm]
             paired_sh = sh.astype(jnp.uint32)[..., perm]
-            if config.use_mxu_lanes():
-                tab, tab_sh = monomial_full_tables_lanes(n, num_primes, True)
-                order = "fourstep-lanes"
-            else:
-                tab, tab_sh = monomial_full_tables(n, num_primes, True)
-                order = "fourstep"
+            lanes = config.use_mxu_lanes() and n < 16384
+            tab, tab_sh = monomial_tables_for(n, num_primes, True,
+                                              lanes=lanes)
+            order = "fourstep-lanes" if lanes else "fourstep"
             mono, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
         else:
             paired, paired_sh = bootstrap_key_to_ntt_paired(key, log_q)

@@ -211,17 +211,29 @@ class NttLweBootstrapKey:
     # spectral ordering of `paired` — execution follows this field
     paired_order: str = _static(default="dif")
 
+    def slim(self) -> "NttLweBootstrapKey":
+        """Drop the u64 XLA-path spectra, keeping only the u32 paired form
+        the fused kernel consumes — halves device HBM for the key (the 4_4
+        regime's full key would not fit the 16 GB chip otherwise).  The
+        XLA fallback path is unavailable on a slimmed key."""
+        return self.replace(data=None, shoup=None)
+
+    @property
+    def _shape_src(self):
+        return self.data if self.data is not None else self.paired
+
     @property
     def input_lwe_dimension(self) -> int:
-        return self.data.shape[0]
+        return self._shape_src.shape[0]
 
     @property
     def glwe_size(self) -> int:
-        return self.data.shape[-2]
+        # both layouts ([n,P,J,R,N] and dif [n,2,P,J,R,N]) carry R at -2
+        return self._shape_src.shape[-2]
 
     @property
     def polynomial_size(self) -> int:
-        return self.data.shape[-1]
+        return self._shape_src.shape[-1]
 
 
 @struct.dataclass

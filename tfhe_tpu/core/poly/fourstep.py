@@ -456,6 +456,69 @@ def monomial_full_tables(n: int, num_primes: int, minus_one: bool):
     return (tab.reshape(2 * n, P, n1, n2), sh.reshape(2 * n, P, n1, n2))
 
 
+# Above this polynomial size the full-exponent table is factored into
+# X^{e_lo} / X^{S e_hi} halves (the O(N^2) full table would be 17+ GB of
+# HBM at N=16384 and 64 GB at N=32768); the kernel multiplies the two
+# gathered rows into the accumulator with two lazy Shoup multiplies.
+MONO_SPLIT_MIN_N = 16384
+
+
+def monomial_split_log_s(n: int) -> int:
+    """log2 of the low-table size S ~= sqrt(2n)."""
+    return (int(np.log2(2 * n)) + 1) // 2
+
+
+@functools.lru_cache(maxsize=None)
+def monomial_split_tables(n: int, num_primes: int):
+    """Factored phase tables: rows [0, S) hold the spectra of X^{e_lo},
+    rows [S, S + 2n/S) hold X^{S * e_hi} — stacked into ONE
+    [S + 2n/S, P, N1, N2] u32 array (+ Shoup twin) so the existing
+    single-table DMA plumbing carries both halves.  X^e = X^{e_lo} *
+    X^{S e_hi}; the delta-CMUX's (X^e - 1) factor becomes an explicit
+    in-kernel subtract of the unphased spectrum (pallas_ntt.py).
+    Kills the O(N^2) table budget: 64 GB -> 0.5 GB at N=32768."""
+    plan = get_plan(n, num_primes)
+    n1, n2 = _split_nm(n)
+    P = num_primes
+    log_s = monomial_split_log_s(n)
+    S = 1 << log_s
+    n_hi = (2 * n) // S
+    k1g, k2g = np.meshgrid(np.arange(n1), np.arange(n2), indexing="ij")
+    kfreq = (k2g * n1 + k1g).reshape(-1).astype(np.int64)        # [N]
+    tab = np.empty((S + n_hi, P, n), dtype=np.uint32)
+    sh = np.empty_like(tab)
+    exps = np.concatenate([np.arange(S, dtype=np.int64),
+                           np.arange(n_hi, dtype=np.int64) * S])
+    idx = (exps[:, None] * (2 * kfreq[None, :] + 1)) % (2 * n)
+    for pi, p in enumerate(plan.primes):
+        p = int(p)
+        psi = int(plan.twist[0][pi][1]) if n > 1 else 1
+        pows = np.empty(2 * n, dtype=np.uint64)
+        acc = 1
+        for ee in range(2 * n):
+            pows[ee] = acc
+            acc = (acc * psi) % p
+        v = pows[idx]                                            # [S+n_hi, N]
+        tab[:, pi] = v.astype(np.uint32)
+        sh[:, pi] = ((v << np.uint64(32)) // np.uint64(p)).astype(np.uint32)
+    return (tab.reshape(S + n_hi, P, n1, n2),
+            sh.reshape(S + n_hi, P, n1, n2))
+
+
+def monomial_tables_for(n: int, num_primes: int, minus_one: bool,
+                        lanes: bool = False):
+    """The phase tables the fused kernel uses for this N: the full
+    [2n, ...] (X^e - 1 | X^e) table below MONO_SPLIT_MIN_N, the factored
+    stack above it.  Single source of truth for keygen (encryption.py) and
+    the serializer's derived-field regeneration (utils/serialization.py)."""
+    if n >= MONO_SPLIT_MIN_N:
+        assert not lanes, "lanes layout has no factored phase tables"
+        return monomial_split_tables(n, num_primes)
+    if lanes:
+        return monomial_full_tables_lanes(n, num_primes, minus_one)
+    return monomial_full_tables(n, num_primes, minus_one)
+
+
 @functools.lru_cache(maxsize=None)
 def monomial_tables_fourstep(n: int, num_primes: int):
     """Spectra of X^(v * 4^lvl) (v in 1..3) in four-step order, u32 + shoup:

@@ -1075,7 +1075,8 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                               grouping: int = 1, mode: str = "delta",
                               bt: int = 8, interpret: bool = False,
                               ablate: frozenset = frozenset(), spc: int = 1,
-                              loop_steps: int = 0, sub_bt: int = 0):
+                              loop_steps: int = 0, sub_bt: int = 0,
+                              mono_log_s: int = 0):
     """WHOLE blind rotation as one kernel: grid (batch tiles, steps).
 
     Per batch tile the accumulator lives in the OUTPUT block, which stays
@@ -1131,6 +1132,13 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
     if sub_bt and (bt % sub_bt or sub_bt >= bt):
         sub_bt = 0
     nsub = bt // sub_bt if sub_bt else 0
+    # mono_log_s > 0: the phase table is the FACTORED stack (fourstep.
+    # monomial_split_tables) — rows [0, S) hold X^{e_lo}, rows [S, ...)
+    # hold X^{S e_hi}.  The kernel DMAs both halves' rows and applies the
+    # phase as two lazy Shoup multiplies; delta mode's (X^e - 1) factor
+    # becomes an explicit subtract of the unphased spectrum.
+    factored = mono_log_s > 0
+    S_lo = 1 << mono_log_s
 
     def kernel(idx_ref, acc_hi_in, acc_lo_in, bsk_ref, bsk_sh_ref,
                tab_ref, tab_sh_ref,
@@ -1155,15 +1163,29 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
                     # static slice indices must be i32 (x64 mode promotes
                     # Python ints to i64, which tpu.memref_slice rejects)
                     s32, b32, v32 = np.int32(sub), np.int32(b), np.int32(v)
-                    dst = (ph_vmem.at[s32, b32] if NV == 1 else
-                           ph_vmem.at[s32, b32, v32])
-                    dst_sh = (ph_sh_vmem.at[s32, b32] if NV == 1 else
-                              ph_sh_vmem.at[s32, b32, v32])
-                    c1 = pltpu.make_async_copy(tab_ref.at[e], dst, sem)
-                    c2 = pltpu.make_async_copy(tab_sh_ref.at[e], dst_sh, sem)
-                    c1.start()
-                    c2.start()
-                    copies[sub] += [c1, c2]
+                    if factored:
+                        row_specs = ((0, e & np.int32(S_lo - 1)),
+                                     (1, (e >> np.int32(mono_log_s))
+                                      + np.int32(S_lo)))
+                    else:
+                        row_specs = ((None, e),)
+                    for half, ee in row_specs:
+                        if half is None:
+                            dst = (ph_vmem.at[s32, b32] if NV == 1 else
+                                   ph_vmem.at[s32, b32, v32])
+                            dsh = (ph_sh_vmem.at[s32, b32] if NV == 1 else
+                                   ph_sh_vmem.at[s32, b32, v32])
+                        else:
+                            h32 = np.int32(half)
+                            dst = (ph_vmem.at[s32, b32, h32] if NV == 1 else
+                                   ph_vmem.at[s32, b32, v32, h32])
+                            dsh = (ph_sh_vmem.at[s32, b32, h32] if NV == 1
+                                   else ph_sh_vmem.at[s32, b32, v32, h32])
+                        c1 = pltpu.make_async_copy(tab_ref.at[ee], dst, sem)
+                        c2 = pltpu.make_async_copy(tab_sh_ref.at[ee], dsh, sem)
+                        c1.start()
+                        c2.start()
+                        copies[sub] += [c1, c2]
 
         # ---- 0b. first cell: seed the resident accumulator -----------------
         @pl.when(j_cell == 0)
@@ -1279,25 +1301,50 @@ def _make_rotation_kernel_mxu(n: int, num_primes: int, glwe_size: int,
         elif mode == "delta":
             for pi in range(P):
                 p = U32(primes[pi])
-                ph3 = ph_vmem[sub32, :, pi]
-                ph3_sh = ph_sh_vmem[sub32, :, pi]
+                if factored:
+                    lo = ph_vmem[sub32, :, 0, pi]
+                    lo_sh = ph_sh_vmem[sub32, :, 0, pi]
+                    hi = ph_vmem[sub32, :, 1, pi]
+                    hi_sh = ph_sh_vmem[sub32, :, 1, pi]
+                else:
+                    ph3 = ph_vmem[sub32, :, pi]
+                    ph3_sh = ph_sh_vmem[sub32, :, pi]
                 for r in range(R):
                     acc_s = None
                     for j in range(J):
                         t0 = _mulmod_lazy(d_hat[pi][j], bsk_ref[sub32, pi, j, r],
                                           bsk_sh_ref[sub32, pi, j, r], p)
                         acc_s = t0 if acc_s is None else _condsub2p(acc_s + t0, p)
-                    spec[pi][r] = (acc_s if "phase" in ablate else
-                                   _mulmod_lazy(acc_s, ph3, ph3_sh, p))
+                    if "phase" in ablate:
+                        spec[pi][r] = acc_s
+                    elif factored:
+                        # (X^e - 1)·acc = acc·X^{e_lo}·X^{S e_hi} - acc:
+                        # two lazy Shoup multiplies then a lazy subtract
+                        # (all operands < 2p, result < 2p after one condsub)
+                        t = _mulmod_lazy(_mulmod_lazy(acc_s, lo, lo_sh, p),
+                                         hi, hi_sh, p)
+                        spec[pi][r] = _condsub2p(t + (p + p - acc_s), p)
+                    else:
+                        spec[pi][r] = _mulmod_lazy(acc_s, ph3, ph3_sh, p)
         else:
             for pi in range(P):
                 p = U32(primes[pi])
                 for v in range(V):
-                    d_use = (d_hat[pi] if v == 0 or "phase" in ablate else
-                             [_mulmod_lazy(d_hat[pi][j],
-                                           ph_vmem[sub32, :, v - 1, pi],
-                                           ph_sh_vmem[sub32, :, v - 1, pi], p)
-                              for j in range(J)])
+                    if v == 0 or "phase" in ablate:
+                        d_use = d_hat[pi]
+                    elif factored:
+                        d_use = [_mulmod_lazy(_mulmod_lazy(
+                            d_hat[pi][j],
+                            ph_vmem[sub32, :, v - 1, 0, pi],
+                            ph_sh_vmem[sub32, :, v - 1, 0, pi], p),
+                            ph_vmem[sub32, :, v - 1, 1, pi],
+                            ph_sh_vmem[sub32, :, v - 1, 1, pi], p)
+                            for j in range(J)]
+                    else:
+                        d_use = [_mulmod_lazy(d_hat[pi][j],
+                                              ph_vmem[sub32, :, v - 1, pi],
+                                              ph_sh_vmem[sub32, :, v - 1, pi], p)
+                                 for j in range(J)]
                     for r in range(R):
                         acc_s = spec[pi][r]
                         for j in range(J):
@@ -1561,8 +1608,12 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     bsk_u32 = bsk_u32.reshape(bsk_u32.shape[:-1] + (n1, n2))
     bsk_sh_u32 = bsk_sh_u32.reshape(bsk_sh_u32.shape[:-1] + (n1, n2))
     if mono_tab is None:   # eager/test path only (see blind_rotate_pallas)
-        tab, tab_sh = fs.monomial_full_tables(n, num_primes, mode == "delta")
+        tab, tab_sh = fs.monomial_tables_for(n, num_primes, mode == "delta")
         mono_tab, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
+    # a factored phase stack (rows != 2n) carries X^{e_lo} / X^{S e_hi}
+    # halves; the kernel recombines them (fourstep.monomial_split_tables)
+    mono_log_s = (fs.monomial_split_log_s(n)
+                  if mono_tab.shape[0] != 2 * n else 0)
 
     spc = steps_per_cell
     if spc is None:
@@ -1573,7 +1624,7 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     # while-loop's per-iteration semaphore waits and lost cross-cell Mosaic
     # pipelining outweigh the removed grid-cell overhead; docs/PERFORMANCE.md)
     use_loop = (os.environ.get("TFHE_TPU_ROTATION_LOOP", "0") == "1"
-                and n_steps % 2 == 0 and spc == 1)
+                and n_steps % 2 == 0 and spc == 1 and mono_log_s == 0)
 
     plan = get_plan(n, num_primes)
     primes = [int(p) for p in plan.primes]
@@ -1598,7 +1649,7 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
                                        mode=mode, bt=bt, interpret=interpret,
                                        ablate=ablate, spc=spc,
                                        loop_steps=n_steps if use_loop else 0,
-                                       sub_bt=sub_bt)
+                                       sub_bt=sub_bt, mono_log_s=mono_log_s)
 
     grid = (B // bt,) if use_loop else (B // bt, n_steps // spc)
     vm = pltpu.VMEM
@@ -1638,8 +1689,10 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     out_shape = (jax.ShapeDtypeStruct(acc_hi.shape, jnp.uint32),
                  jax.ShapeDtypeStruct(acc_lo.shape, jnp.uint32))
     ph_lead = (2,) if use_loop else (spc,)
-    ph_shape = (ph_lead + (bt, num_primes, n1, n2) if mode == "delta" else
-                ph_lead + (bt, NV, num_primes, n1, n2))
+    ph_mid = (2,) if mono_log_s else ()        # factored lo/hi halves
+    ph_shape = (ph_lead + (bt,) + ph_mid + (num_primes, n1, n2)
+                if mode == "delta" else
+                ph_lead + (bt, NV) + ph_mid + (num_primes, n1, n2))
     if use_loop:
         scratch = [pltpu.VMEM((2,) + bsk_u32.shape[1:], jnp.uint32),
                    pltpu.VMEM((2,) + bsk_u32.shape[1:], jnp.uint32),
@@ -1739,6 +1792,11 @@ def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
                            if lanes else
                            fs.monomial_full_tables(n, num_primes, True))
             mono_tab, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
+        if mono_tab.shape[0] != 2 * n:
+            raise NotImplementedError(
+                "factored phase tables (N >= fourstep.MONO_SPLIT_MIN_N) are "
+                "only supported by the whole-rotation fused kernel "
+                "(config.use_fused_rotation)")
         tabs, tabs_sh = mono_tab, mono_sh
         mask = 2 * n - 1
         step_mxu = (blind_rotate_step_pallas_mxu_lanes if lanes else

@@ -138,9 +138,10 @@ _DERIVED_FIELDS = {"NttLweBootstrapKey": ("mono", "mono_shoup"),
 
 
 def _regen_derived(obj):
-    """Recompute the full-exponent monomial phase tables dropped by _encode."""
-    from ..core.poly.fourstep import (monomial_full_tables,
-                                      monomial_full_tables_lanes)
+    """Recompute the monomial phase tables dropped by _encode (full
+    [2n, ...] below the split threshold, the factored stack above it —
+    fourstep.monomial_tables_for is the single source of the rule)."""
+    from ..core.poly.fourstep import monomial_tables_for
     cls = type(obj).__name__
     if cls == "NttLweBootstrapKey":
         n, npr, minus_one = obj.data.shape[-1], obj.data.shape[1], True
@@ -148,9 +149,8 @@ def _regen_derived(obj):
     else:
         n, npr, minus_one = obj.data.shape[-1], obj.data.shape[2], False
         order = obj.u32_order
-    build = (monomial_full_tables_lanes if order == "fourstep-lanes"
-             else monomial_full_tables)
-    tab, sh = build(int(n), int(npr), minus_one)
+    tab, sh = monomial_tables_for(int(n), int(npr), minus_one,
+                                  lanes=(order == "fourstep-lanes"))
     return obj.replace(mono=jnp.asarray(tab), mono_shoup=jnp.asarray(sh))
 
 
