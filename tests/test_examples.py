@@ -103,3 +103,57 @@ def test_sha256_sigma():
     expect = (((v >> 7) | (v << 25)) ^ ((v >> 18) | (v << 14)) ^ (v >> 3)) & 0xFFFFFFFF
     got = sha256_bool.decrypt_word(ck, sha256_bool.small_sigma0(sk, w, params))
     assert got == expect
+
+
+def test_sha256_padding_known_answer():
+    """The reference padding.rs test vector, plus hex-input parsing."""
+    s = "abcdbcdecdefdefgefghfghighijhijkijkljklmklmnlmnomnopnopq"
+    expect = ("6162636462636465636465666465666765666768666768696768696a68696a"
+              "6b696a6b6c6a6b6c6d6b6c6d6e6c6d6e6f6d6e6f706e6f707180"
+              + "0" * 139 + "1c0")
+    got = sha256_bool.bools_to_hex(sha256_bool.pad_sha256_input(s))
+    assert got == expect
+    # hex input parses to the same bytes as the text form
+    assert (sha256_bool.pad_sha256_input("0x6162") ==
+            sha256_bool.pad_sha256_data(b"ab"))
+    assert len(sha256_bool.pad_sha256_data(b"abc")) == 512
+
+
+def test_sha256_batched_word_ops():
+    """The batched word form (bits on the boolean batch axis) agrees with
+    the clear model on rotr/shr/add (Kogge-Stone prefix adder)."""
+    ck, sk = B.gen_keys(TEST_PARAMS_BOOLEAN, seed=74)
+    params = ck.params
+    a_val, b_val = 0xDEADBEEF, 0x12345678
+    import jax.numpy as jnp
+    a = B.encrypt(ck, jnp.asarray([bool((a_val >> i) & 1) for i in range(32)]),
+                  seed=5)
+    b = sha256_bool.trivial_word_b(params, b_val)
+    assert sha256_bool.decrypt_word_b(ck, sha256_bool.rotr_b(a, 11)) == \
+        ((a_val >> 11) | (a_val << 21)) & 0xFFFFFFFF
+    assert sha256_bool.decrypt_word_b(
+        ck, sha256_bool.shr_b(a, 5, params)) == a_val >> 5
+    assert sha256_bool.decrypt_word_b(
+        ck, sha256_bool.add_words_b(sk, a, b, params)) == \
+        (a_val + b_val) & 0xFFFFFFFF
+    assert sha256_bool.decrypt_word_b(
+        ck, sha256_bool.maj_b(sk, a, b, b)) == \
+        ((a_val & b_val) | (a_val & b_val) | (b_val & b_val)) & 0xFFFFFFFF
+
+
+def test_sha256_full_message_known_answer():
+    """End-to-end: pad b'abc', encrypt the 512 padded bits in one batched
+    call, run the full 64-round driver, decrypt the known SHA-256 digest
+    (reference main.rs flow)."""
+    import hashlib
+
+    import jax.numpy as jnp
+    import numpy as np
+    ck, sk = B.gen_keys(TEST_PARAMS_BOOLEAN, seed=75)
+    params = ck.params
+    bits = sha256_bool.pad_sha256_input("abc")
+    enc = B.encrypt(ck, jnp.asarray(bits), seed=6)
+    digest = sha256_bool.sha256_fhe(sk, params, enc)
+    out_bits = np.asarray(B.decrypt(ck, digest)).astype(bool)
+    got = sha256_bool.bools_to_hex(list(out_bits))
+    assert got == hashlib.sha256(b"abc").hexdigest()
