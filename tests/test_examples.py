@@ -29,6 +29,29 @@ def test_dark_market_volume_match(ikeys):
     assert got_s == [5, 9]
 
 
+def test_dark_market_parallel(ikeys):
+    """Improved parallel variant (improved_parallel_fhe.rs:97): order book
+    batched onto the PBS axis, verified against the clear model."""
+    ck, sk = ikeys
+    buys = [10, 4, 6]
+    sells = [5, 9, 2, 7]
+    cb = ck.encrypt(jnp.asarray(buys), seed=110)
+    cs = ck.encrypt(jnp.asarray(sells), seed=111)
+    fb, fs = dark_market.volume_match_parallel(sk, cb, cs)
+
+    def clear_fill(orders, other_total):
+        pre, out = 0, []
+        for o in orders:
+            out.append(min(o, max(0, other_total - pre)))
+            pre += o
+        return out
+
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(fs)),
+                                  clear_fill(sells, sum(buys)))
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(fb)),
+                                  clear_fill(buys, sum(sells)))
+
+
 def test_regex_engine(ikeys):
     ck, sk = ikeys
 
