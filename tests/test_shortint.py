@@ -259,3 +259,32 @@ def test_max_noise_level_enforced(skeys):
     # a PBS always resets the noise level
     lut = sk.generate_lookup_table(lambda v: v)
     assert sk.apply_lookup_table(acc, lut).noise_level == shortint.NoiseLevel.NOMINAL
+
+
+def test_compressed_ciphertext_roundtrip(skeys):
+    """shortint CompressedCiphertext (ciphertext/mod.rs:471-494): seeded
+    encrypt -> decompress -> decrypt, wire size (n+1)x smaller, and the
+    decompressed ciphertext works through a server op."""
+    ck, sk = skeys
+    msgs = jnp.asarray([0, 1, 2, 3], dtype=jnp.uint64)
+    cct = ck.encrypt_compressed(msgs, seed=9)
+    assert cct.ct.body.shape == (4,)          # bodies only on the wire
+    np.testing.assert_array_equal(np.asarray(ck.decrypt_compressed(cct)),
+                                  np.asarray(msgs))
+    ct = cct.decompress()
+    assert ct.degree == ck.params.message_modulus - 1
+    lut = sk.generate_lookup_table(lambda x: (x + 1) % 4)
+    out = sk.apply_lookup_table(ct, lut)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt(out)),
+                                  (np.asarray(msgs) + 1) % 4)
+
+
+def test_compressed_ciphertext_serialization(skeys, tmp_path):
+    from tfhe_tpu.utils import serialization
+    ck, _ = skeys
+    cct = ck.encrypt_compressed(jnp.asarray([2, 1]), seed=10)
+    path = tmp_path / "cct.npz"
+    serialization.save(cct, path, compress=False)
+    loaded = serialization.load(path)
+    np.testing.assert_array_equal(np.asarray(ck.decrypt_compressed(loaded)),
+                                  [2, 1])

@@ -10,13 +10,15 @@ the jit-friendly equivalent of shortint/ciphertext/mod.rs:263 bookkeeping).
 Batching: `Ciphertext.lwe.data` is [..., n+1]; every server-key op maps over
 the batch in one XLA program.
 """
-from .ciphertext import CheckError, Ciphertext, MaxNoiseLevel, NoiseLevel
+from .ciphertext import (CheckError, Ciphertext, CompressedCiphertext,
+                         MaxNoiseLevel, NoiseLevel)
 from .client_key import ClientKey, gen_keys
 from .key_switching_key import KeySwitchingKey, generate_key_switching_key
 from .server_key import (CompressedServerKey, LookupTable, MaxDegree,
                          ServerKey, gen_compressed_server_key)
 
-__all__ = ["CheckError", "Ciphertext", "ClientKey", "ServerKey",
+__all__ = ["CheckError", "Ciphertext", "CompressedCiphertext",
+           "ClientKey", "ServerKey",
            "KeySwitchingKey", "LookupTable", "MaxDegree", "MaxNoiseLevel",
            "NoiseLevel", "gen_keys", "generate_key_switching_key",
            "CompressedServerKey", "gen_compressed_server_key"]

@@ -78,3 +78,26 @@ class Ciphertext:
             carry_modulus=self.carry_modulus,
             noise_level=self.noise_level if noise_level is None else noise_level,
         )
+
+
+@struct.dataclass
+class CompressedCiphertext:
+    """Seeded shortint ciphertext: body + 32-bit mask seed + the same
+    metadata as `Ciphertext` — (n+1)x smaller on the wire (reference
+    shortint CompressedCiphertext, shortint/ciphertext/mod.rs:471-494).
+    Built by ClientKey.encrypt_compressed; `decompress()` replays the
+    mask stream."""
+
+    ct: Any                        # SeededLweCiphertext
+    degree: int = struct.field(pytree_node=False, default=0)
+    message_modulus: int = struct.field(pytree_node=False, default=4)
+    carry_modulus: int = struct.field(pytree_node=False, default=4)
+    noise_level: int = struct.field(pytree_node=False, default=NoiseLevel.NOMINAL)
+
+    def decompress(self) -> Ciphertext:
+        from ..core.algorithms.seeded import decompress_lwe
+        return Ciphertext(
+            lwe=decompress_lwe(self.ct), degree=self.degree,
+            message_modulus=self.message_modulus,
+            carry_modulus=self.carry_modulus,
+            noise_level=self.noise_level)

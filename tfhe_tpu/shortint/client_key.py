@@ -78,6 +78,26 @@ class ClientKey:
         space = np.uint64(2 * self.params.message_modulus * self.params.carry_modulus)
         return ((phase + (d >> np.uint64(1))) // d) % space
 
+    def encrypt_compressed(self, messages, seed: int = 1):
+        """Seeded encryption: ships only the bodies + a 32-bit seed
+        (reference ClientKey::encrypt_compressed -> CompressedCiphertext,
+        shortint/ciphertext/mod.rs:471-494)."""
+        from ..core.algorithms.seeded import encrypt_lwe_seeded
+        from .ciphertext import CompressedCiphertext
+        p = self.params
+        msgs = jnp.asarray(messages).astype(jnp.uint64) % jnp.uint64(
+            p.message_modulus * p.carry_modulus)
+        pts = msgs * delta_for(p)
+        sct = encrypt_lwe_seeded(seed, self.encryption_key, pts,
+                                 self.encryption_noise_std, LOG_Q)
+        return CompressedCiphertext(
+            ct=sct, degree=p.message_modulus - 1,
+            message_modulus=p.message_modulus, carry_modulus=p.carry_modulus,
+            noise_level=NoiseLevel.NOMINAL)
+
+    def decrypt_compressed(self, cct):
+        return self.decrypt(cct.decompress())
+
     def trivial_encrypt(self, messages, degree=None) -> Ciphertext:
         p = self.params
         msgs = jnp.asarray(messages).astype(jnp.uint64)

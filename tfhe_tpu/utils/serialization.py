@@ -44,7 +44,9 @@ def _register_known_types():
                            CompressedServerKey as BooleanCompressedServerKey,
                            PublicKey as BooleanPublicKey,
                            ServerKey as BooleanServerKey)
-    from ..shortint.ciphertext import Ciphertext as ShortintCiphertext
+    from ..shortint.ciphertext import (Ciphertext as ShortintCiphertext,
+                                       CompressedCiphertext
+                                       as ShortintCompressedCiphertext)
     from ..shortint.client_key import ClientKey as ShortintClientKey
     from ..shortint.server_key import (CompressedServerKey
                                        as ShortintCompressedServerKey,
@@ -74,7 +76,8 @@ def _register_known_types():
                 BoolCiphertext, BooleanClientKey, BooleanServerKey,
                 BooleanCompressedServerKey, BooleanCompressedPublicKey,
                 BooleanPublicKey,
-                ShortintCiphertext, ShortintClientKey, ShortintServerKey,
+                ShortintCiphertext, ShortintCompressedCiphertext,
+                ShortintClientKey, ShortintServerKey,
                 ShortintCompressedServerKey,
                 LookupTable, RadixCiphertext, SignedRadixCiphertext,
                 CrtCiphertext, GadgetCiphertext, GadgetClientKey,
