@@ -253,11 +253,13 @@ class TriviumStreamShortint:
     def _taps(self, reg, base, n=64):
         return _stack_short([reg[base - k] for k in range(n)])
 
-    def next_64(self):
-        """64 keystream bits (shortint ciphertexts, stream order)."""
-        sk = self.sk
-        a, b, c = self.a, self.b, self.c
-        T = self._taps
+    @staticmethod
+    def step_64(sk, a, b, c):
+        """PURE 64-step Trivium round over register lists (newest first):
+        → (new_a, new_b, new_c, out64).  Pulled out of next_64 so TPU
+        drivers can wrap the whole round (4 stacked PBS calls) in one
+        jax.jit over the stacked register arrays (tools/bench_suite.py)."""
+        T = lambda reg, base: _stack_short([reg[base - k] for k in range(64)])
         temp_a = sk.unchecked_add(T(a, 65), T(a, 92))
         temp_b = sk.unchecked_add(T(b, 68), T(b, 83))
         temp_c = sk.unchecked_add(T(c, 65), T(c, 110))
@@ -280,10 +282,16 @@ class TriviumStreamShortint:
         o = sk.message_extract(
             sk.unchecked_add(sk.unchecked_add(temp_a, temp_b), temp_c))
 
-        self.a = _unstack_short(new_a, 64)[::-1] + a[:len(a) - 64]
-        self.b = _unstack_short(new_b, 64)[::-1] + b[:len(b) - 64]
-        self.c = _unstack_short(new_c, 64)[::-1] + c[:len(c) - 64]
-        return _unstack_short(o, 64)
+        a = _unstack_short(new_a, 64)[::-1] + a[:len(a) - 64]
+        b = _unstack_short(new_b, 64)[::-1] + b[:len(b) - 64]
+        c = _unstack_short(new_c, 64)[::-1] + c[:len(c) - 64]
+        return a, b, c, _unstack_short(o, 64)
+
+    def next_64(self):
+        """64 keystream bits (shortint ciphertexts, stream order)."""
+        self.a, self.b, self.c, out = self.step_64(
+            self.sk, self.a, self.b, self.c)
+        return out
 
     def trans_encrypt_64(self, cipher):
         """XOR an FheUint64 with the encrypted keystream (reference

@@ -49,6 +49,13 @@ BASELINES_MS = {
     "uint16_div": 1930.0,       # div_rem at 16 bits (8 blocks)
     "uint8_mul": 144.0,         # benchmarks.md:17 FheUint8 row
     "uint64_add": 186.0,        # benchmarks.md:16 FheUint64 row
+    "uint64_mul": 832.0,        # benchmarks.md:16 FheUint64 rows
+    "uint64_div": 12200.0,
+    "uint64_shl": 243.0,
+    # the reference repo ships trivium as criterion benches with no
+    # published table; the record carries bits/s + a PBS/s-equivalent rate
+    # comparable to the 60.2 PBS/s/core headline yardstick instead
+    "trivium_keystream": None,
 }
 
 
@@ -187,6 +194,98 @@ def _cached_integer_keys(params, nb, with_shift=False):
             integer.ServerKey(key=sk, shift_key=shk))
 
 
+def bench_trivium(batch, iters, params="PARAM_MESSAGE_1_CARRY_2_KS_PBS"):
+    """Batched Trivium keystream throughput (reference apps/trivium
+    benches/trivium_shortint.rs): `batch` independent streams ride every
+    cell's batch axis, one 64-bit round = 4 stacked PBS calls of
+    192*batch / 64*batch; verified against the eSTREAM clear model."""
+    from tfhe_tpu.apps.trivium import (TriviumStreamShortint,
+                                       clear_trivium_keystream)
+    cpu = jax.local_devices(backend="cpu")[0]
+    dev = jax.devices()[0]
+    S = batch
+    rng = np.random.default_rng(7)
+    keys_clear = rng.integers(0, 2, (80, S)).astype(np.uint64)
+    iv_bits = rng.integers(0, 2, 80).astype(int).tolist()
+    with jax.default_device(cpu):
+        if isinstance(params, str):
+            from tfhe_tpu.utils.keycache import KeyCache
+            kc = KeyCache(root=os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "keys_cache"))
+            ck, sk = kc.get(f"{params}_seed1",
+                            lambda: shortint.gen_keys(params, seed=1))
+        else:
+            ck, sk = shortint.gen_keys(params, seed=1)
+        enc_key = [ck.encrypt(jnp.asarray(keys_clear[i]), seed=20 + i)
+                   for i in range(80)]
+        stream = TriviumStreamShortint(enc_key, iv_bits, sk, warmup_rounds=0)
+
+        def bcast(cells):
+            out = []
+            for cell in cells:
+                d = cell.lwe.data
+                if d.ndim == 1:   # trivial scalar cell -> batch of S
+                    d = jnp.broadcast_to(d, (S,) + d.shape)
+                out.append(cell.with_(lwe=LweCiphertext(data=d)))
+            return out
+        a0, b0, c0 = bcast(stream.a), bcast(stream.b), bcast(stream.c)
+        proto = [list(a0), list(b0), list(c0)]
+        pack = lambda cells: jnp.stack([cl.lwe.data for cl in cells])
+    sk_dev = jax.device_put(sk, dev)
+    state0 = tuple(jax.device_put(pack(r), dev) for r in (a0, b0, c0))
+
+    @jax.jit
+    def step(ad, bd, cd, key):
+        regs = []
+        for data, ref in zip((ad, bd, cd), proto):
+            regs.append([cell.with_(lwe=LweCiphertext(data=data[i]))
+                         for i, cell in enumerate(ref)])
+        na, nb, nc, out = TriviumStreamShortint.step_64(key, *regs)
+        return (jnp.stack([cl.lwe.data for cl in na]),
+                jnp.stack([cl.lwe.data for cl in nb]),
+                jnp.stack([cl.lwe.data for cl in nc]),
+                jnp.stack([cl.lwe.data for cl in out]))
+
+    # compile + Trivium's 1152-clock warmup = 18 rounds, chained on device
+    t0 = time.time()
+    st = state0
+    for r in range(18):
+        *st, _ = step(*st, sk_dev)
+        st = tuple(st)
+        if r == 0:
+            jax.tree.map(np.asarray, st)
+            print(f"# first call (compile+run): {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+    *st1, out = step(*st, sk_dev)
+    np.asarray(out[0])
+
+    # verify round 19 output = keystream bits [0, 64) for every stream
+    with jax.default_device(cpu):
+        host = jax.device_put(out, cpu)
+        outs = [stream.a[0].with_(lwe=LweCiphertext(data=host[i]))
+                for i in range(64)]
+        got = np.stack([np.asarray(ck.decrypt(o)) & 1 for o in outs])  # [64,S]
+    ok = True
+    for s in range(S):
+        expect = clear_trivium_keystream(
+            [int(x) for x in keys_clear[:, s]], iv_bits, 64)
+        ok = ok and bool(np.array_equal(got[:, s], np.asarray(expect)))
+
+    # timed chained rounds
+    st = tuple(st1)
+    t0 = time.time()
+    for _ in range(iters):
+        *st, out = step(*st, sk_dev)
+        st = tuple(st)
+    np.asarray(out[0])
+    dt = (time.time() - t0) / iters
+    bits_per_s = 64 * S / dt
+    pbs_per_round = 448 * S          # 192 bitand + 192 extract + 64 output
+    return dt * 1000, ok, {"params": str(params), "streams": S,
+                           "bits_per_s": round(bits_per_s, 1),
+                           "pbs_equiv_per_s": round(pbs_per_round / dt, 1)}
+
+
 def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     cpu = jax.local_devices(backend="cpu")[0]
     dev = jax.devices()[0]
@@ -194,11 +293,12 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
     width = nb * 2
     with jax.default_device(cpu):
         rck, rsk = _cached_integer_keys(
-            params, nb, with_shift=op in ("uint32_shl", "uint32_rotl"))
+            params, nb,
+            with_shift=op.endswith(("_shl", "_rotl")))
         rng = np.random.default_rng(0)
         a_clear = rng.integers(0, 1 << width, batch, dtype=np.uint64)
-        if op in ("uint32_shl", "uint32_rotl"):
-            b_clear = rng.integers(0, 32, batch, dtype=np.uint64)
+        if op.endswith(("_shl", "_rotl")):
+            b_clear = rng.integers(0, width, batch, dtype=np.uint64)
         elif op.endswith("_div"):
             b_clear = rng.integers(1, 1 << width, batch, dtype=np.uint64)
         else:
@@ -226,6 +326,9 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
         "uint32_div": lambda x, y: x // y,
         "uint8_div": lambda x, y: x // y,
         "uint16_div": lambda x, y: x // y,
+        "uint64_mul": lambda x, y: x * y,
+        "uint64_div": lambda x, y: x // y,
+        "uint64_shl": lambda x, y: (x << (y % np.uint64(64))) & mask,
     }[op]
 
     @jax.jit
@@ -240,7 +343,7 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
             # (the scan remains the right choice for single-op latency —
             # reference add_parallelized vs *_work_efficient tradeoff)
             return _stack(key.add(ca, cb))
-        if op in ("uint32_mul", "uint8_mul"):
+        if op in ("uint32_mul", "uint8_mul", "uint64_mul"):
             return _stack(key.mul(ca, cb))
         if op == "uint32_bitand":
             return _stack(key.bitand(ca, cb))
@@ -250,7 +353,7 @@ def bench_uint32(op, batch, iters, params="PARAM_MESSAGE_2_CARRY_2_KS_PBS"):
             return _stack(key.max(ca, cb))
         if op == "uint32_neg":
             return _stack(key.neg(ca))
-        if op == "uint32_shl":
+        if op.endswith("_shl"):
             return _stack(key.left_shift(ca, cb))
         if op == "uint32_rotl":
             return _stack(key.rotate_left(ca, cb))
@@ -296,6 +399,8 @@ def main():
                            else 8 if args.op == "uint32_div"     # huge op
                            else 64 if args.op == "uint8_div"
                            else 16 if args.op == "uint16_div"
+                           else 4 if args.op in ("uint64_div", "trivium_keystream")
+                           else 16 if args.op in ("uint64_mul", "uint64_shl")
                            else 32)   # 2 luts x 256 ops = one full PBS batch
 
     t0 = time.time()
@@ -303,22 +408,29 @@ def main():
     if args.test_params:
         from tfhe_tpu.core.params import (TEST_PARAMS_BOOLEAN,
                                           TEST_PARAMS_SHORTINT)
-        kw["params"] = (TEST_PARAMS_BOOLEAN if args.op == "boolean_gate"
-                        else TEST_PARAMS_SHORTINT)
+        if args.op == "trivium_keystream":
+            from tfhe_tpu.core.params import TEST_PARAMS_TRIVIUM
+            kw["params"] = TEST_PARAMS_TRIVIUM
+        else:
+            kw["params"] = (TEST_PARAMS_BOOLEAN if args.op == "boolean_gate"
+                            else TEST_PARAMS_SHORTINT)
     elif args.multibit:
         kw["params"] = "PARAM_MULTI_BIT_MESSAGE_2_CARRY_2_GROUP_3_KS_PBS"
     if args.op == "boolean_gate":
         ms, ok, meta = bench_boolean_gate(batch, args.iters, **kw)
     elif args.op == "shortint_add":
         ms, ok, meta = bench_shortint_add(batch, args.iters, **kw)
+    elif args.op == "trivium_keystream":
+        ms, ok, meta = bench_trivium(batch, args.iters, **kw)
     else:
         ms, ok, meta = bench_uint32(args.op, batch, args.iters, **kw)
     print(f"# total wall {time.time() - t0:.1f}s", file=sys.stderr)
 
     metric = args.op + ("_mb" if args.multibit else "")
+    base = BASELINES_MS[args.op]
     rec = {"metric": metric, "value": round(ms, 3), "unit": "ms/op",
-           "vs_baseline": round(BASELINES_MS[args.op] / ms, 2),
-           "baseline_ms": BASELINES_MS[args.op], "correct": ok, **meta}
+           "vs_baseline": round(base / ms, 2) if base else None,
+           "baseline_ms": base, "correct": ok, **meta}
     print(json.dumps(rec))
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_SUITE.json")
