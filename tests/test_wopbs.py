@@ -55,6 +55,24 @@ def test_wopbs_arbitrary_function(wkeys):
         [f(i) for i in range(16)])
 
 
+def test_integer_wopbs_multi_polynomial_lut(wkeys):
+    """Vertical packing where the LUT spans MULTIPLE polynomials: 5 blocks
+    x 2 bits = 10 extracted bits > log2(N=256), so the CMux tree consumes
+    the 2 excess MSB GGSWs over 4 LUT polynomials before the GGSW-driven
+    blind rotation (reference vertical_packing, wop_pbs/mod.rs:785)."""
+    from tfhe_tpu import integer
+    from tfhe_tpu.integer.wopbs import new_integer_wopbs_key
+    ck, sk, wk = wkeys
+    rck = integer.RadixClientKey(key=ck, num_blocks=5)
+    iwk = new_integer_wopbs_key(wk)
+    f = lambda x: (x * 7 + 13) % 1024
+    vals = np.array([0, 1023, 600])
+    ct = rck.encrypt(jnp.asarray(vals), seed=8)
+    out = iwk.wopbs(ct, f)
+    np.testing.assert_array_equal(np.asarray(rck.decrypt(out)),
+                                  [f(int(v)) for v in vals])
+
+
 def test_crt_wopbs(wkeys):
     """CRT-wide LUT eval (reference integer/wopbs/mod.rs:716-780): each
     residue block gets f(x_j) mod m_j through ONE shared extracted-GGSW
