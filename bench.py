@@ -79,9 +79,17 @@ def main():
 
     if params.polynomial_size >= 16384 and getattr(sk.bsk, "paired", None) is not None:
         # 4_4 regime: the full key (u64 XLA spectra + u32 paired form +
-        # KSK) exceeds chip HBM; ship only what the fused kernel reads
-        sk = sk.replace(bsk=sk.bsk.slim())
-        print("# slimmed BSK (paired-only) for device transfer", file=sys.stderr)
+        # KSK) exceeds chip HBM; ship only what the fused kernel reads,
+        # pre-retiled to [..., N1, N2] host-side (the in-jit retiling
+        # reshape would otherwise duplicate 2 x 3.9 GB of key in HBM)
+        bslim = sk.bsk.slim()
+        n = params.polynomial_size
+        tile = lambda a: a.reshape(a.shape[:-1] + (n // 128, 128))
+        bslim = bslim.replace(paired=tile(bslim.paired),
+                              paired_shoup=tile(bslim.paired_shoup))
+        sk = sk.replace(bsk=bslim)
+        print("# slimmed BSK (paired-only, pre-tiled) for device transfer",
+              file=sys.stderr)
     sk_dev = jax.device_put(sk, dev)
     lut_dev = jax.device_put(lut, dev)
     ct_dev = jax.device_put(ct.lwe.data, dev)

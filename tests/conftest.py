@@ -26,6 +26,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# The environment's persistent compilation cache holds XLA:CPU AOT blobs
+# compiled on a DIFFERENT machine type (the loader itself warns "could lead
+# to execution errors such as SIGILL") — reading them segfaults long CPU
+# runs (observed deterministically in the sha256 full-message test, inside
+# compilation_cache.get_executable_and_time).  CPU compiles are sub-second;
+# the suite only needs the in-process jit cache.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -219,21 +219,29 @@ class NttLweBootstrapKey:
         return self.replace(data=None, shoup=None)
 
     @property
-    def _shape_src(self):
-        return self.data if self.data is not None else self.paired
+    def _paired_tiled(self) -> bool:
+        """Whether `paired` is stored pre-retiled as [..., N1, N2] (the
+        large-N slim form — avoids the in-jit retiling copy of the key)."""
+        flat = 5 if self.paired_order.startswith("fourstep") else 6
+        return self.paired is not None and self.paired.ndim == flat + 1
 
     @property
     def input_lwe_dimension(self) -> int:
-        return self._shape_src.shape[0]
+        return (self.data if self.data is not None else self.paired).shape[0]
 
     @property
     def glwe_size(self) -> int:
-        # both layouts ([n,P,J,R,N] and dif [n,2,P,J,R,N]) carry R at -2
-        return self._shape_src.shape[-2]
+        if self.data is not None:
+            return self.data.shape[-2]
+        return self.paired.shape[-3 if self._paired_tiled else -2]
 
     @property
     def polynomial_size(self) -> int:
-        return self._shape_src.shape[-1]
+        if self.data is not None:
+            return self.data.shape[-1]
+        p = self.paired
+        return (p.shape[-2] * p.shape[-1] if self._paired_tiled
+                else p.shape[-1])
 
 
 @struct.dataclass

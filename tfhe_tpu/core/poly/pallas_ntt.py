@@ -1561,7 +1561,13 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
         num_primes, glwe_size = bsk_u32.shape[1], bsk_u32.shape[3]
     else:
         num_primes, glwe_size = bsk_u32.shape[2], bsk_u32.shape[4]
-    n = bsk_u32.shape[-1]
+    # spectra arrive flat [..., N] or pre-tiled [..., N1, N2] (large-N
+    # callers retile host-side: the in-jit retiling reshape is a physical
+    # HBM copy of the whole key)
+    flat_ndim = 5 if mode == "delta" else 6
+    pre_tiled = bsk_u32.ndim == flat_ndim + 1
+    n = (bsk_u32.shape[-2] * bsk_u32.shape[-1] if pre_tiled
+         else bsk_u32.shape[-1])
     n1, n2 = fs._split_nm(n)
     V = 1 << grouping
     NV = 1 if mode == "delta" else V - 1
@@ -1605,8 +1611,13 @@ def blind_rotate_fused(lut_data, lwe_data, bsk_u32, bsk_sh_u32, mono_tab,
     acc_lo = acc.astype(jnp.uint32)
     acc_hi = acc_hi.reshape(acc_hi.shape[:-1] + (n1, n2))
     acc_lo = acc_lo.reshape(acc_lo.shape[:-1] + (n1, n2))
-    bsk_u32 = bsk_u32.reshape(bsk_u32.shape[:-1] + (n1, n2))
-    bsk_sh_u32 = bsk_sh_u32.reshape(bsk_sh_u32.shape[:-1] + (n1, n2))
+    if not pre_tiled:
+        # flat [..., N] spectra: retile to [..., N1, N2].  Inside jit this
+        # reshape is a PHYSICAL copy (tiled-layout change), which at 4_4
+        # doubles 2x 3.89 GB of key in HBM — large-N callers pre-reshape
+        # host-side (bench.py) and skip this branch.
+        bsk_u32 = bsk_u32.reshape(bsk_u32.shape[:-1] + (n1, n2))
+        bsk_sh_u32 = bsk_sh_u32.reshape(bsk_sh_u32.shape[:-1] + (n1, n2))
     if mono_tab is None:   # eager/test path only (see blind_rotate_pallas)
         tab, tab_sh = fs.monomial_tables_for(n, num_primes, mode == "delta")
         mono_tab, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)

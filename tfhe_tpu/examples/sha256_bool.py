@@ -232,8 +232,14 @@ def maj_b(sk, a, b, c):
     return B.mux(sk, B.xor_(sk, a, b), c, a)
 
 
-def sha256_compress_b(sk, params, state, block_words):
-    """One 64-round compression over batched words."""
+def sha256_compress_b(sk, params, state, block_words, clear_caches_every=0):
+    """One 64-round compression over batched words.
+
+    clear_caches_every > 0 drops XLA's jit caches every that many rounds —
+    the XLA CPU backend sporadically segfaults after thousands of
+    cumulative compiles in one process (see CLAUDE.md); the TPU backend
+    never needs it."""
+    import jax as _jax
     w = list(block_words)
     for t in range(16, 64):
         s0 = _sigma_b(sk, w[t - 15], 7, 18, 3, params, True)
@@ -242,6 +248,8 @@ def sha256_compress_b(sk, params, state, block_words):
                              add_words_b(sk, w[t - 7], s1, params), params))
     a, b, c, d, e, f, g, h = state
     for t in range(64):
+        if clear_caches_every and t % clear_caches_every == 0:
+            _jax.clear_caches()
         t1 = add_words_b(
             sk, add_words_b(sk, h, _sigma_b(sk, e, 6, 11, 25, params, False),
                             params),
@@ -258,7 +266,8 @@ def sha256_compress_b(sk, params, state, block_words):
             for x, y in zip(state, [a, b, c, d, e, f, g, h])]
 
 
-def sha256_fhe(sk, params, bits: B.BoolCiphertext) -> B.BoolCiphertext:
+def sha256_fhe(sk, params, bits: B.BoolCiphertext,
+               clear_caches_every: int = 0) -> B.BoolCiphertext:
     """Full-message homomorphic SHA-256 (reference sha256_function.rs):
     `bits` is the padded message as ONE batched BoolCiphertext (MSB-first,
     length a multiple of 512 — pad_sha256_input output encrypted in one
@@ -273,7 +282,8 @@ def sha256_fhe(sk, params, bits: B.BoolCiphertext) -> B.BoolCiphertext:
             # MSB-first slice -> LSB-first batched word
             words.append(_bword(bits.lwe.data[start + 31:start - 1 if start
                                               else None:-1]))
-        state = sha256_compress_b(sk, params, state, words)
+        state = sha256_compress_b(sk, params, state, words,
+                                  clear_caches_every=clear_caches_every)
     digest_rows = [w.lwe.data[::-1] for w in state]     # back to MSB first
     return _bword(jnp.concatenate(digest_rows, axis=0))
 
