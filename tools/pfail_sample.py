@@ -86,8 +86,17 @@ def main():
         "wall_s": round(wall, 1),
     }
     print(json.dumps(record))
-    with open(os.path.join(REPO, "PFAIL.json"), "w") as f:
-        json.dump(record, f, indent=1)
+    path = os.path.join(REPO, "PFAIL.json")
+    try:
+        with open(path) as f:
+            all_recs = json.load(f)
+        if "metric" in all_recs:   # legacy single-record layout
+            all_recs = {all_recs["params"]: all_recs}
+    except (OSError, ValueError):
+        all_recs = {}
+    all_recs[params.name] = record
+    with open(path, "w") as f:
+        json.dump(all_recs, f, indent=1)
     if mismatches:
         sys.exit(1)
 
