@@ -65,3 +65,39 @@ def test_required_num_primes():
 def test_primes_are_ntt_friendly():
     for p in PRIMES_31:
         assert (p - 1) % (1 << 14) == 0 and p < (1 << 30)
+
+
+def test_high_n_primes_are_ntt_friendly():
+    """N > 8192 (e.g. PARAM_MESSAGE_4_CARRY_4's 32768) needs 2n | p - 1;
+    the PRIMES_31 pool tops out at 2^14/2^15 and psi = g^((p-1)//(2n))
+    silently truncates past that — the round-5 4_4 chip run decrypted
+    wrong for exactly this reason (regression guard)."""
+    from tfhe_tpu.core.poly.ntt import PRIMES_HIGH_N, primes_for
+    for p in PRIMES_HIGH_N:
+        assert (p - 1) % (1 << 17) == 0 and p < (1 << 30)
+    assert primes_for(8192) is PRIMES_31
+    for n in (16384, 32768):
+        pool = primes_for(n)
+        for p in pool:
+            assert (p - 1) % (2 * n) == 0
+
+
+@pytest.mark.parametrize("n", [16384, 32768])
+def test_ntt_roundtrip_high_n(rs, n):
+    """Round-trip + spot negacyclic product at the 4_4-regime sizes (the
+    plan must pick the high-2-adicity pool or psi has the wrong order and
+    everything decodes to garbage)."""
+    plan = get_plan(n, 4)
+    for p in plan.primes:
+        assert (p - 1) % (2 * n) == 0
+    x = rs.randint(-(1 << 20), 1 << 20, (2, n)).astype(np.int64)
+    hat = ntt_forward(plan, jnp.asarray(x))
+    back = garner_to_torus(plan, ntt_inverse(plan, hat), 64)
+    np.testing.assert_array_equal(np.asarray(back).astype(np.int64), x)
+    # monomial product: X^7 * a == negacyclic rotation (exercises psi)
+    a = rs.randint(0, 1 << 63, n).astype(np.uint64)
+    b = np.zeros(n, dtype=np.int64)
+    b[7] = 1
+    out = np.asarray(negacyclic_polymul(jnp.asarray(a), jnp.asarray(b), 64))
+    exp = np.concatenate([(np.uint64(0) - a[n - 7:]), a[:n - 7]])
+    np.testing.assert_array_equal(out, exp)

@@ -47,6 +47,30 @@ PRIMES_31 = (   # name kept for source compatibility; values are 30-bit
     1073184769,  # 128-bit-modulus external product needs (pbs128.py)
 )
 
+# High-N pool: p ≡ 1 (mod 2^17), so a primitive 2N-th root of unity exists
+# up to N = 2^16 (PARAM_MESSAGE_4_CARRY_4's N = 32768 needs 2^16 | p - 1;
+# the PRIMES_31 pool tops out at 2^14/2^15 and psi = g^((p-1)//(2n))
+# silently truncates past that — the round-5 4_4 chip run decrypted wrong
+# for exactly this reason).  Same < 2^30 headroom rule as PRIMES_31.
+PRIMES_HIGH_N = (
+    1073479681,  # 2-adicity 2^18 (shared with PRIMES_31)
+    1071513601,
+    1070727169,
+    1068236801,
+    1065484289,
+    1064697857,
+    1062862849,
+)
+
+
+def primes_for(n: int):
+    """The CRT prime pool for polynomial size n (negacyclic NTT needs a
+    2n-th root of unity, i.e. 2n | p - 1 for every pool prime)."""
+    if n <= (1 << 13):
+        return PRIMES_31
+    assert n <= (1 << 16), f"N={n} exceeds the high-N prime pool's 2-adicity"
+    return PRIMES_HIGH_N
+
 _U32 = jnp.uint32
 _U64 = jnp.uint64
 
@@ -102,7 +126,7 @@ class NttPlan:
         assert n & (n - 1) == 0, "N must be a power of two"
         self.n = n
         self.log_n = n.bit_length() - 1
-        self.primes = PRIMES_31[:num_primes]
+        self.primes = primes_for(n)[:num_primes]
         self.num_primes = num_primes
 
         twists, untwists = [], []
