@@ -1803,7 +1803,9 @@ def blind_rotate_pallas(lut_data, lwe_data, paired_u32, paired_sh_u32,
                            if lanes else
                            fs.monomial_full_tables(n, num_primes, True))
             mono_tab, mono_sh = jnp.asarray(tab), jnp.asarray(tab_sh)
-        if mono_tab.shape[0] != 2 * n:
+        # the exponent axis sits at 2 in the lanes layout [P, N1, 2n, N2]
+        # and at 0 in the rows layout [2n, P, N1, N2]
+        if mono_tab.shape[2 if lanes else 0] != 2 * n:
             raise NotImplementedError(
                 "factored phase tables (N >= fourstep.MONO_SPLIT_MIN_N) are "
                 "only supported by the whole-rotation fused kernel "

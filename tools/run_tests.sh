@@ -13,7 +13,7 @@ cd "$(dirname "$0")/.."
 ulimit -s unlimited 2>/dev/null || true
 
 HEAVY="test_pallas_kernel.py test_parallel.py test_pbs128.py test_trivium.py \
-       test_integer.py test_integer_div.py test_shift_key.py"
+       test_integer.py test_integer_div.py test_shift_key.py test_examples.py"
 
 main_files=()
 for f in tests/test_*.py; do
