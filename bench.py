@@ -82,12 +82,7 @@ def main():
         # KSK) exceeds chip HBM; ship only what the fused kernel reads,
         # pre-retiled to [..., N1, N2] host-side (the in-jit retiling
         # reshape would otherwise duplicate 2 x 3.9 GB of key in HBM)
-        bslim = sk.bsk.slim()
-        n = params.polynomial_size
-        tile = lambda a: a.reshape(a.shape[:-1] + (n // 128, 128))
-        bslim = bslim.replace(paired=tile(bslim.paired),
-                              paired_shoup=tile(bslim.paired_shoup))
-        sk = sk.replace(bsk=bslim)
+        sk = sk.replace(bsk=sk.bsk.slim_pretiled())
         print("# slimmed BSK (paired-only, pre-tiled) for device transfer",
               file=sys.stderr)
     sk_dev = jax.device_put(sk, dev)

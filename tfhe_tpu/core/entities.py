@@ -218,6 +218,22 @@ class NttLweBootstrapKey:
         XLA fallback path is unavailable on a slimmed key."""
         return self.replace(data=None, shoup=None)
 
+    def slim_pretiled(self) -> "NttLweBootstrapKey":
+        """slim() + host-side [..., N] -> [..., N1, N2] retile of the paired
+        spectra: the in-jit retiling reshape physically copies the key in
+        HBM (2 x 3.9 GB at 4_4 — OOM observed), so large-N transfers ship
+        the tiled form.  Use for any N >= 16384 device run (bench.py,
+        tools/pfail_sample.py)."""
+        from .poly.fourstep import _split_nm
+        b = self.slim()
+        if b._paired_tiled:
+            return b
+        n = self.polynomial_size
+        n1, n2 = _split_nm(n)
+        tile = lambda a: a.reshape(a.shape[:-1] + (n1, n2))
+        return b.replace(paired=tile(b.paired),
+                         paired_shoup=tile(b.paired_shoup))
+
     @property
     def _paired_tiled(self) -> bool:
         """Whether `paired` is stored pre-retiled as [..., N1, N2] (the

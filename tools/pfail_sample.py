@@ -48,6 +48,12 @@ def main():
         msgs = rng.integers(0, m, args.batch).astype(np.uint64)
         ct = ck.encrypt(jnp.asarray(msgs), seed=13)
     lut = sk.generate_lookup_table(lambda x: (3 * x + 1) % m)
+    if (params.polynomial_size >= 16384
+            and getattr(sk.bsk, "paired", None) is not None):
+        # 4_4 regime: the full key exceeds chip HBM (OOM observed at 17.8 G
+        # vs 15.75 G); ship only the fused kernel's pre-tiled paired form
+        sk = sk.replace(bsk=sk.bsk.slim_pretiled())
+        print("# slimmed BSK for device transfer", file=sys.stderr)
     sk_dev = jax.device_put(sk, dev)
     lut_dev = jax.device_put(lut, dev)
     data = jax.device_put(ct.lwe.data, dev)
