@@ -14,11 +14,14 @@ import resource
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 # XLA's CPU compiler sporadically SEGFAULTs on deep graphs (vmapped threefry
-# keygen) with the default 8 MB thread stack; compile threads inherit
-# RLIMIT_STACK at creation, so raise it before jax spins any up.
+# keygen, the sha256_fhe gate stream) with the default 8 MB thread stack.
+# IMPORTANT: the limit must be a LARGE FINITE value, not RLIM_INFINITY —
+# per pthread_create(3), a finite soft RLIMIT_STACK sets the default stack
+# of new threads, while "unlimited" falls back to the 8 MiB default, so the
+# old infinity setting never actually enlarged XLA's compile threads.
 try:
     resource.setrlimit(resource.RLIMIT_STACK,
-                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+                       (512 * 1024 * 1024, resource.RLIM_INFINITY))
 except (ValueError, OSError):
     pass
 

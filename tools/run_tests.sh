@@ -10,7 +10,9 @@
 # Usage:  tools/run_tests.sh [extra pytest args, e.g. -q]
 set -u
 cd "$(dirname "$0")/.."
-ulimit -s unlimited 2>/dev/null || true
+# finite-large: pthread_create(3) only honours a FINITE soft limit
+# for new threads' default stacks (XLA compile threads)
+ulimit -S -s 524288 2>/dev/null || true
 
 HEAVY="test_pallas_kernel.py test_parallel.py test_pbs128.py test_trivium.py \
        test_integer.py test_integer_div.py test_shift_key.py test_examples.py"
